@@ -1,0 +1,69 @@
+"""Global numerics configuration.
+
+Two modes matter for this framework:
+
+- ``parity``: float32 params/activations, HIGHEST matmul/conv precision.
+  Required to match the PyTorch reference PSNR within 0.01 dB
+  (reference protocol: fp32 eval, see /root/reference/test_demo.py:336-340).
+- ``fast``: bfloat16 compute with float32 accumulation, DEFAULT precision.
+  The TPU MXU runs bf16 natively; use for throughput benchmarking once a
+  model has been validated for PSNR tolerance in bf16.
+
+The active mode is process-global. Jitted functions capture the mode at
+trace time, so switch modes *before* building/jitting an evaluator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from contextlib import contextmanager
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Numerics:
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    conv_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    matmul_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+
+
+_PARITY = Numerics()
+_FAST = Numerics(
+    compute_dtype=jnp.bfloat16,
+    param_dtype=jnp.bfloat16,
+    conv_precision=jax.lax.Precision.DEFAULT,
+    matmul_precision=jax.lax.Precision.DEFAULT,
+)
+
+_active = _PARITY
+
+
+def numerics() -> Numerics:
+    return _active
+
+
+def set_mode(mode: str) -> None:
+    global _active
+    if mode == "parity":
+        _active = _PARITY
+    elif mode == "fast":
+        _active = _FAST
+    else:
+        raise ValueError(f"unknown numerics mode: {mode!r}")
+
+
+def mode() -> str:
+    return "parity" if _active is _PARITY else "fast"
+
+
+@contextmanager
+def numerics_mode(mode_name: str):
+    prev = mode()
+    set_mode(mode_name)
+    try:
+        yield
+    finally:
+        set_mode(prev)

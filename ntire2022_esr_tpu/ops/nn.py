@@ -1,0 +1,319 @@
+"""Core NHWC neural-net primitives for the SR model zoo.
+
+Layout conventions (TPU-first):
+- Activations: NHWC (channels-last feeds the MXU's lane dimension).
+- Conv weights: HWIO ``(kh, kw, in_ch/groups, out_ch)``. The checkpoint
+  porter transposes PyTorch OIHW weights once at load.
+- Linear weights: ``(in, out)`` (PyTorch stores ``(out, in)``).
+
+Semantics match the PyTorch ops used by the reference model zoo
+(/root/reference/models/*) so ported weights reproduce outputs bit-closely:
+explicit symmetric zero padding (never XLA 'SAME'), LeakyReLU slopes as
+given, PReLU per-channel broadcast on the last axis, exact GELU, torch
+pixel-(un)shuffle channel ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ntire2022_esr_tpu import config
+
+Params = dict
+IntOr2 = Union[int, Tuple[int, int]]
+
+
+def _pair(v: IntOr2) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+# ---------------------------------------------------------------------------
+# Convolution
+# ---------------------------------------------------------------------------
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride: IntOr2 = 1,
+    padding: Optional[IntOr2] = None,
+    dilation: IntOr2 = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """2-D convolution, NHWC x HWIO -> NHWC.
+
+    ``padding=None`` means the torch-conventional ``dilation * (k // 2)``
+    per spatial dim (i.e. 'same' for odd kernels at stride 1). Pass an int
+    or pair for explicit symmetric zero padding (e.g. 0 for VALID convs in
+    ESA blocks, reference models/rfdn_baseline/block.py:112).
+    """
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    s = _pair(stride)
+    d = _pair(dilation)
+    if padding is None:
+        padding = (d[0] * (kh // 2), d[1] * (kw // 2))
+    ph, pw = _pair(padding)
+    nm = config.numerics()
+    out = lax.conv_general_dilated(
+        x.astype(nm.compute_dtype),
+        w.astype(nm.compute_dtype),
+        window_strides=s,
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=d,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=nm.conv_precision,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def conv(p: Params, x: jax.Array, **kw) -> jax.Array:
+    """Apply a conv layer from a param dict ``{'weight': HWIO, 'bias'?}``."""
+    return conv2d(x, p["weight"], p.get("bias"), **kw)
+
+
+def conv_transpose2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride: IntOr2 = 2,
+    padding: IntOr2 = 0,
+    output_padding: IntOr2 = 0,
+    groups: int = 1,
+) -> jax.Array:
+    """torch.nn.ConvTranspose2d semantics via input-dilated convolution.
+
+    Weights are expected pre-converted by the porter to HWIO with spatially
+    flipped taps: torch stores transpose-conv weights as (I, O/g, kh, kw);
+    the porter emits ``w[kh,kw,I/g? ...]`` -- concretely
+    ``flip(permute(w,(2,3,0,1)))`` giving (kh, kw, I, O/g) -> reshaped so a
+    regular HWIO conv with lhs_dilation reproduces the op.
+    """
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    s = _pair(stride)
+    ph, pw = _pair(padding)
+    oph, opw = _pair(output_padding)
+    nm = config.numerics()
+    out = lax.conv_general_dilated(
+        x.astype(nm.compute_dtype),
+        w.astype(nm.compute_dtype),
+        window_strides=(1, 1),
+        padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
+        lhs_dilation=s,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=nm.conv_precision,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    """Dense layer on the last axis; weight stored (in, out)."""
+    nm = config.numerics()
+    out = jnp.dot(
+        x.astype(nm.compute_dtype),
+        p["weight"].astype(nm.compute_dtype),
+        precision=nm.matmul_precision,
+    )
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Activations (VPU element-wise)
+# ---------------------------------------------------------------------------
+
+def relu(x: jax.Array) -> jax.Array:
+    return jnp.maximum(x, 0)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def prelu(x: jax.Array, w: jax.Array) -> jax.Array:
+    """torch PReLU: slope per channel (last axis here) or a single scalar."""
+    return jnp.where(x >= 0, x, x * w.astype(x.dtype))
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU = torch.nn.GELU() default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def sigmoid(x: jax.Array) -> jax.Array:
+    return jax.nn.sigmoid(x)
+
+
+def relu6(x: jax.Array) -> jax.Array:
+    return jnp.clip(x, 0, 6)
+
+
+def softmax(x: jax.Array, axis: int = -1) -> jax.Array:
+    return jax.nn.softmax(x, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Pooling
+# ---------------------------------------------------------------------------
+
+def max_pool2d(x: jax.Array, kernel: IntOr2, stride: IntOr2, padding: IntOr2 = 0) -> jax.Array:
+    """torch F.max_pool2d (floor mode) on NHWC."""
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x, neg, lax.max,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
+    )
+
+
+def avg_pool2d(x: jax.Array, kernel: IntOr2, stride: Optional[IntOr2] = None,
+               padding: IntOr2 = 0) -> jax.Array:
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride if stride is not None else kernel)
+    ph, pw = _pair(padding)
+    summed = lax.reduce_window(
+        x, jnp.array(0, x.dtype), lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
+    )
+    if ph == 0 and pw == 0:
+        return summed / (kh * kw)
+    ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
+    cnt = lax.reduce_window(
+        ones, jnp.array(0, x.dtype), lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
+    )
+    return summed / cnt
+
+
+def global_avg_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
+    """AdaptiveAvgPool2d(1) on NHWC."""
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+def global_max_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
+    return jnp.max(x, axis=(1, 2), keepdims=keepdims)
+
+
+def global_std_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
+    """torch.std over spatial dims (unbiased, as torch defaults)."""
+    n = x.shape[1] * x.shape[2]
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.sum((x - mean) ** 2, axis=(1, 2), keepdims=keepdims) / max(n - 1, 1)
+    return jnp.sqrt(var)
+
+
+# ---------------------------------------------------------------------------
+# Normalisation
+# ---------------------------------------------------------------------------
+
+def batch_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Inference-mode BatchNorm2d using running stats; channels last."""
+    mean = p["running_mean"].astype(x.dtype)
+    var = p["running_var"].astype(x.dtype)
+    inv = lax.rsqrt(var + eps)
+    out = (x - mean) * inv
+    if "weight" in p:
+        out = out * p["weight"].astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis (transformer blocks)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    out = (x - mean) * lax.rsqrt(var + eps)
+    if "weight" in p:
+        out = out * p["weight"].astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pixel shuffle family (torch channel ordering)
+# ---------------------------------------------------------------------------
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """Depth-to-space with torch's NCHW channel-major (C, r, r) ordering.
+
+    out[n, h*r+i, w*r+j, c] == in[n, h, w, c*r*r + i*r + j]
+    (reference tail: models/rfdn_baseline/block.py pixelshuffle_block).
+    """
+    n, h, w, c = x.shape
+    cout = c // (r * r)
+    x = x.reshape(n, h, w, cout, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, rh, w, rw, c
+    return x.reshape(n, h * r, w * r, cout)
+
+
+def pixel_unshuffle(x: jax.Array, r: int) -> jax.Array:
+    """Space-to-depth, exact inverse of :func:`pixel_shuffle`."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # n, h', w', c, rh, rw
+    return x.reshape(n, h // r, w // r, c * r * r)
+
+
+def channel_shuffle(x: jax.Array, groups: int) -> jax.Array:
+    """torch channel_shuffle on the last axis."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, groups, c // groups)
+    x = x.swapaxes(3, 4)
+    return x.reshape(n, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Padding helpers
+# ---------------------------------------------------------------------------
+
+def zero_pad2d(x: jax.Array, pad: Sequence[int]) -> jax.Array:
+    """torch F.pad NCHW order (left, right, top, bottom) applied to NHWC."""
+    l, r, t, b = pad
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
+def reflect_pad2d(x: jax.Array, pad: Sequence[int]) -> jax.Array:
+    l, r, t, b = pad
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="reflect")
+
+
+def replicate_pad2d(x: jax.Array, pad: Sequence[int]) -> jax.Array:
+    l, r, t, b = pad
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge")
+
+
+# ---------------------------------------------------------------------------
+# MeanShift (fixed 1x1 conv used by EDSR-style nets: models 11, 23, 43)
+# ---------------------------------------------------------------------------
+
+def mean_shift(x: jax.Array, rgb_range: float, sign: int = -1,
+               rgb_mean=(0.4488, 0.4371, 0.4040), rgb_std=(1.0, 1.0, 1.0)) -> jax.Array:
+    std = jnp.asarray(rgb_std, x.dtype)
+    mean = jnp.asarray(rgb_mean, x.dtype)
+    return x / std + sign * rgb_range * mean / std

@@ -1,0 +1,44 @@
+"""File + stream logging (mirror of reference utils/utils_logger.py:26-45)."""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import sys
+
+
+def logger_info(logger_name: str, log_path: str = "default_logger.log") -> None:
+    """Idempotently set up a named logger writing to a file and stderr."""
+    log = logging.getLogger(logger_name)
+    if log.hasHandlers():
+        log.info(f"LogHandlers exist! ({logger_name})")
+        return
+    level = logging.INFO
+    formatter = logging.Formatter("%(asctime)s.%(msecs)03d : %(message)s", datefmt="%y-%m-%d %H:%M:%S")
+    fh = logging.FileHandler(log_path, mode="a")
+    fh.setFormatter(formatter)
+    log.setLevel(level)
+    log.addHandler(fh)
+    sh = logging.StreamHandler()
+    sh.setFormatter(formatter)
+    log.addHandler(sh)
+
+
+class logger_print:
+    """Tee stdout to a log file (reference utils_logger.py:55-65)."""
+
+    def __init__(self, log_path: str = "default.log"):
+        self.terminal = sys.stdout
+        self.log = open(log_path, "a")
+
+    def write(self, message):
+        self.terminal.write(message)
+        self.log.write(message)
+
+    def flush(self):
+        self.terminal.flush()
+        self.log.flush()
+
+
+def timestamp() -> str:
+    return datetime.datetime.now().strftime("%y%m%d-%H%M%S")

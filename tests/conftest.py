@@ -1,0 +1,20 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Tests must be runnable without TPU hardware; sharding tests use an 8-device
+virtual CPU mesh. Set before any jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = os.environ.get("NTIRE_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

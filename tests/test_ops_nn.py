@@ -1,0 +1,167 @@
+"""Unit parity tests: NHWC ops vs torch CPU reference semantics."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from ntire2022_esr_tpu import ops
+
+
+def t2j(x_nchw: torch.Tensor) -> np.ndarray:
+    return x_nchw.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def conv_w(w_oihw: torch.Tensor) -> np.ndarray:
+    return w_oihw.detach().numpy().transpose(2, 3, 1, 0)
+
+
+@pytest.mark.parametrize("k,stride,pad,dilation,groups", [
+    (3, 1, None, 1, 1),
+    (1, 1, 0, 1, 1),
+    (3, 2, 0, 1, 1),
+    (3, 2, 1, 1, 1),
+    (3, 1, 2, 2, 1),
+    (3, 1, 5, 5, 1),
+    (5, 1, 2, 1, 1),
+    (7, 3, 0, 1, 1),
+    (3, 1, 1, 1, 4),   # grouped
+    (3, 1, 1, 1, 8),   # depthwise (cin=8)
+])
+def test_conv2d(rng, k, stride, pad, dilation, groups):
+    cin, cout = 8, 16
+    x = torch.from_numpy(rng.randn(2, cin, 17, 19).astype(np.float32))
+    w = torch.from_numpy(rng.randn(cout, cin // groups, k, k).astype(np.float32))
+    b = torch.from_numpy(rng.randn(cout).astype(np.float32))
+    torch_pad = dilation * (k // 2) if pad is None else pad
+    ref = F.conv2d(x, w, b, stride=stride, padding=torch_pad, dilation=dilation, groups=groups)
+    out = ops.conv2d(t2j(x), conv_w(w), b.numpy(), stride=stride, padding=pad,
+                     dilation=dilation, groups=groups)
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_conv_transpose2d(rng):
+    cin, cout = 6, 9
+    x = torch.from_numpy(rng.randn(1, cin, 11, 13).astype(np.float32))
+    w = torch.from_numpy(rng.randn(cin, cout, 3, 3).astype(np.float32))
+    b = torch.from_numpy(rng.randn(cout).astype(np.float32))
+    ref = F.conv_transpose2d(x, w, b, stride=2, padding=1, output_padding=1)
+    # porter rule: (I, O, kh, kw) -> flip spatial -> HWIO with I as "input"
+    wj = np.flip(w.numpy().transpose(2, 3, 0, 1), axis=(0, 1)).copy()
+    out = ops.conv_transpose2d(t2j(x), wj, b.numpy(), stride=2, padding=1, output_padding=1)
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_activations(rng):
+    x = torch.from_numpy(rng.randn(2, 5, 7, 3).astype(np.float32))
+    xj = x.numpy()
+    np.testing.assert_allclose(np.asarray(ops.leaky_relu(xj, 0.05)), F.leaky_relu(x, 0.05).numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ops.gelu(xj)), F.gelu(x).numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ops.silu(xj)), F.silu(x).numpy(), rtol=1e-5, atol=1e-6)
+    w = torch.from_numpy(rng.rand(3).astype(np.float32))
+    ref = F.prelu(x.permute(0, 3, 1, 2), w).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ops.prelu(xj, w.numpy())), ref.numpy(), rtol=1e-6)
+
+
+@pytest.mark.parametrize("k,s", [(7, 3), (2, 2), (3, 2)])
+def test_max_pool(rng, k, s):
+    x = torch.from_numpy(rng.randn(1, 4, 23, 29).astype(np.float32))
+    ref = F.max_pool2d(x, kernel_size=k, stride=s)
+    out = ops.max_pool2d(t2j(x), k, s)
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-6)
+
+
+def test_avg_pool(rng):
+    x = torch.from_numpy(rng.randn(1, 4, 20, 24).astype(np.float32))
+    ref = F.avg_pool2d(x, kernel_size=2, stride=2)
+    out = ops.avg_pool2d(t2j(x), 2, 2)
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_pixel_shuffle_roundtrip(rng):
+    x = torch.from_numpy(rng.randn(2, 48, 6, 7).astype(np.float32))
+    ref = F.pixel_shuffle(x, 4)
+    out = ops.pixel_shuffle(t2j(x), 4)
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-6)
+    back = ops.pixel_unshuffle(out, 4)
+    np.testing.assert_allclose(np.asarray(back), t2j(x), rtol=1e-6)
+
+
+def test_pixel_unshuffle_torch(rng):
+    x = torch.from_numpy(rng.randn(1, 5, 12, 8).astype(np.float32))
+    ref = F.pixel_unshuffle(x, 2)
+    out = ops.pixel_unshuffle(t2j(x), 2)
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-6)
+
+
+def test_channel_shuffle(rng):
+    x = torch.from_numpy(rng.randn(1, 12, 4, 4).astype(np.float32))
+    ref = torch.channel_shuffle(x, 3)
+    out = ops.channel_shuffle(t2j(x), 3)
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-6)
+
+
+def test_batch_norm(rng):
+    c = 6
+    x = torch.from_numpy(rng.randn(2, c, 9, 9).astype(np.float32))
+    bn = torch.nn.BatchNorm2d(c).eval()
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(rng.randn(c).astype(np.float32)))
+        bn.bias.copy_(torch.from_numpy(rng.randn(c).astype(np.float32)))
+        bn.running_mean.copy_(torch.from_numpy(rng.randn(c).astype(np.float32)))
+        bn.running_var.copy_(torch.from_numpy(rng.rand(c).astype(np.float32) + 0.5))
+        ref = bn(x)
+    p = {"weight": bn.weight.detach().numpy(), "bias": bn.bias.detach().numpy(),
+         "running_mean": bn.running_mean.numpy(), "running_var": bn.running_var.numpy()}
+    out = ops.batch_norm(p, t2j(x))
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_layer_norm(rng):
+    x = torch.from_numpy(rng.randn(2, 10, 16).astype(np.float32))
+    ln = torch.nn.LayerNorm(16).eval()
+    with torch.no_grad():
+        ln.weight.copy_(torch.from_numpy(rng.randn(16).astype(np.float32)))
+        ln.bias.copy_(torch.from_numpy(rng.randn(16).astype(np.float32)))
+        ref = ln(x)
+    p = {"weight": ln.weight.detach().numpy(), "bias": ln.bias.detach().numpy()}
+    out = ops.layer_norm(p, x.numpy())
+    np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_linear(rng):
+    x = torch.from_numpy(rng.randn(3, 7, 12).astype(np.float32))
+    w = torch.from_numpy(rng.randn(5, 12).astype(np.float32))
+    b = torch.from_numpy(rng.randn(5).astype(np.float32))
+    ref = F.linear(x, w, b)
+    out = ops.linear({"weight": w.numpy().T, "bias": b.numpy()}, x.numpy())
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode,size", [
+    ("bilinear", (30, 34)),
+    ("bilinear", (7, 9)),
+    ("bicubic", (60, 68)),
+    ("bicubic", (8, 10)),
+    ("nearest", (30, 34)),
+])
+def test_interpolate(rng, mode, size):
+    x = torch.from_numpy(rng.randn(1, 3, 15, 17).astype(np.float32))
+    kwargs = {} if mode == "nearest" else {"align_corners": False}
+    ref = F.interpolate(x, size=size, mode=mode, **kwargs)
+    out = ops.interpolate(t2j(x), size=size, mode=mode)
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_interpolate_scale_factor(rng):
+    x = torch.from_numpy(rng.randn(1, 3, 12, 14).astype(np.float32))
+    ref = F.interpolate(x, scale_factor=4, mode="bicubic", align_corners=False)
+    out = ops.interpolate(t2j(x), scale_factor=4, mode="bicubic")
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_nearest_integer_upsample(rng):
+    x = torch.from_numpy(rng.randn(1, 4, 9, 11).astype(np.float32))
+    ref = F.interpolate(x, scale_factor=2, mode="nearest")
+    out = ops.interpolate(t2j(x), scale_factor=2, mode="nearest")
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-6)
