@@ -1,0 +1,72 @@
+"""CLI batch driver — the TPU-native `test_demo.py` (reference :480-577).
+
+    python -m ntire2022_esr_tpu.harness.cli --data_dir D --save_dir S \
+        --model_id N [--include_test] [--ssim] [--mode parity|fast]
+
+Evaluates one zoo model on DIV2K val (optionally test), accumulates
+results.json / results.txt in the cwd, and logs per-image PSNR. A failed
+model never kills a sweep (per-model try/except in `sweep`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from pprint import pprint
+
+from ntire2022_esr_tpu import config
+from ntire2022_esr_tpu.harness import registry, results as results_mod, runner, summary
+from ntire2022_esr_tpu.utils import logger as logger_mod
+
+
+def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
+    apply, params, model_name, data_range, tile = registry.build_model(model_id)
+    logger.info(model_name)
+
+    entry = runner.run(apply, params, model_name, data_range, tile, logger, args, mode="valid")
+    if args.include_test:
+        entry.update(runner.run(apply, params, model_name, data_range, tile, logger, args, mode="test"))
+
+    comp = summary.model_complexity(apply, params, (256, 256))
+    logger.info("{:>16s} : {:<.4f} [M]".format("#Activations", comp["activations"]))
+    logger.info("{:>16s} : {:<d}".format("#Conv2d", comp["num_conv"]))
+    logger.info("{:>16s} : {:<.4f} [G]".format("FLOPs", comp["flops"]))
+    logger.info("{:>16s} : {:<.4f} [M]".format("#Params", comp["num_parameters"]))
+    entry.update(comp)
+    return model_name, entry
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("NTIRE2022-EfficientSR-TPU")
+    parser.add_argument("--data_dir", required=True, type=str)
+    parser.add_argument("--save_dir", default="./sr_results", type=str)
+    parser.add_argument("--model_id", default=0, type=int, nargs="+")
+    parser.add_argument("--include_test", action="store_true", help="Inference on the DIV2K test set")
+    parser.add_argument("--ssim", action="store_true", help="Calculate SSIM")
+    parser.add_argument("--mode", default="parity", choices=["parity", "fast"],
+                        help="numerics: parity=f32 (reference-exact), fast=bf16")
+    args = parser.parse_args(argv)
+    pprint(args)
+
+    config.set_mode(args.mode)
+    logger_mod.logger_info("NTIRE2022-EfficientSR", log_path="NTIRE2022-EfficientSR.log")
+    logger = logging.getLogger("NTIRE2022-EfficientSR")
+
+    json_dir = os.path.join(os.getcwd(), "results.json")
+    results = results_mod.load_results(json_dir)
+
+    ids = args.model_id if isinstance(args.model_id, list) else [args.model_id]
+    for model_id in ids:
+        try:
+            model_name, entry = evaluate_model(model_id, args, logger)
+            results[model_name] = entry
+            results_mod.save_results(json_dir, results)
+        except Exception:
+            logger.exception(f"model {model_id} failed; continuing sweep")
+
+    results_mod.write_table(os.path.join(os.getcwd(), "results.txt"), results, args.include_test)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Per-model evaluation loop (reference test_demo.run, test_demo.py:394-477).
+
+TPU-native differences from the reference:
+- the forward is jitted once per input shape (XLA compile cache); timing
+  wraps the device call with ``jax.block_until_ready`` — the analogue of
+  the reference's CUDA-event pair around the model forward only;
+- image decode of the *next* image overlaps the current device compute via
+  a background prefetch thread (host->HBM transfer is started eagerly with
+  ``jax.device_put``);
+- device memory is reported from JAX device memory stats.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import time
+from queue import Queue
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ntire2022_esr_tpu.harness import data as data_mod
+from ntire2022_esr_tpu.harness import tiling
+from ntire2022_esr_tpu.utils import image as img_util
+from ntire2022_esr_tpu.utils import metrics
+
+
+def _prefetch(pairs, data_range: float, q: Queue) -> None:
+    for lr_path, hr_path in pairs:
+        lr = img_util.imread_uint(lr_path, n_channels=3)
+        x = img_util.uint2nhwc(lr, data_range)
+        dev_x = jax.device_put(x)
+        q.put((lr_path, hr_path, dev_x))
+    q.put(None)
+
+
+def run(
+    apply: Callable,
+    params,
+    model_name: str,
+    data_range: float,
+    tile: Optional[int],
+    logger: logging.Logger,
+    args,
+    mode: str = "test",
+    pairs: Optional[List[Tuple[str, str]]] = None,
+) -> Dict:
+    sf = 4
+    border = sf
+    results: Dict = {f"{mode}_runtime": [], f"{mode}_psnr": []}
+    if getattr(args, "ssim", False):
+        results[f"{mode}_ssim"] = []
+
+    if pairs is None:
+        pairs = data_mod.select_dataset(args.data_dir, mode)
+    save_path = os.path.join(args.save_dir, model_name, "test" if mode == "test" else "valid")
+    img_util.mkdir(save_path)
+
+    device_params = jax.device_put(params)
+    jitted = jax.jit(lambda p, x: tiling.forward(apply, p, x, tile))
+
+    q: Queue = Queue(maxsize=2)
+    t = threading.Thread(target=_prefetch, args=(pairs, data_range, q), daemon=True)
+    t.start()
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        lr_path, hr_path, dev_x = item
+        img_name, ext = os.path.splitext(os.path.basename(hr_path))
+
+        # compile outside the timed region (the reference times a warm CUDA
+        # graph; first-call XLA compilation is not model runtime)
+        _ = jax.block_until_ready(jitted(device_params, dev_x))
+        t0 = time.perf_counter()
+        sr = jax.block_until_ready(jitted(device_params, dev_x))
+        elapsed_ms = (time.perf_counter() - t0) * 1000.0
+        results[f"{mode}_runtime"].append(elapsed_ms)
+
+        sr_u8 = img_util.nhwc2uint(np.asarray(sr), data_range)
+
+        hr = img_util.imread_uint(hr_path, n_channels=3)
+        hr = img_util.modcrop(np.squeeze(hr), sf)
+
+        psnr = metrics.calculate_psnr(sr_u8, hr, border=border)
+        results[f"{mode}_psnr"].append(psnr)
+        if getattr(args, "ssim", False):
+            ssim = metrics.calculate_ssim(sr_u8, hr, border=border)
+            results[f"{mode}_ssim"].append(ssim)
+            logger.info(f"{img_name}{ext} - PSNR: {psnr:.2f} dB; SSIM: {ssim:.4f}.")
+        else:
+            logger.info(f"{img_name}{ext} - PSNR: {psnr:.2f} dB")
+
+        img_util.imsave(sr_u8, os.path.join(save_path, img_name[:4] + ext))
+
+    results[f"{mode}_memory"] = _device_memory_mb()
+    results[f"{mode}_ave_runtime"] = sum(results[f"{mode}_runtime"]) / len(results[f"{mode}_runtime"])
+    results[f"{mode}_ave_psnr"] = sum(results[f"{mode}_psnr"]) / len(results[f"{mode}_psnr"])
+    if getattr(args, "ssim", False):
+        results[f"{mode}_ave_ssim"] = sum(results[f"{mode}_ssim"]) / len(results[f"{mode}_ssim"])
+    logger.info("{:>16s} : {:<.3f} [M]".format("Max Memory", results[f"{mode}_memory"]))
+    logger.info(
+        "------> Average runtime of ({}) is : {:.6f} milliseconds".format(
+            "test" if mode == "test" else "valid", results[f"{mode}_ave_runtime"]
+        )
+    )
+    return results
+
+
+def _device_memory_mb() -> float:
+    """Peak device memory in MB (jax memory_stats; 0.0 when unavailable, e.g. CPU)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / 1024**2
+    except Exception:
+        pass
+    return 0.0

@@ -1,0 +1,7 @@
+from ntire2022_esr_tpu.porter.convert import (  # noqa: F401
+    load_params,
+    nest,
+    port_state_dict,
+    save_params,
+)
+from ntire2022_esr_tpu.porter.reader import read_torch_checkpoint  # noqa: F401

@@ -1,0 +1,98 @@
+"""Harness-level tests: tiling semantics, runner loop, results writers, summary."""
+
+import json
+import logging
+import os
+import types
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ntire2022_esr_tpu.harness import results as results_mod
+from ntire2022_esr_tpu.harness import runner, summary, tiling
+from ntire2022_esr_tpu.utils import image as img_util
+
+
+def _toy_apply(params, x):
+    """Translation-invariant x4 upsampler (nearest repeat) used as a model stub."""
+    y = jnp.repeat(jnp.repeat(x, 4, axis=1), 4, axis=2)
+    return y * params["scale"]
+
+
+TOY_PARAMS = {"scale": np.float32(0.5)}
+
+
+def test_tiled_equals_direct_for_pointwise_model(rng):
+    x = jnp.asarray(rng.rand(1, 70, 90, 3).astype(np.float32))
+    direct = _toy_apply(TOY_PARAMS, x)
+    tiled = tiling.tiled_apply(_toy_apply, TOY_PARAMS, x, tile=48, tile_overlap=16)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(direct), rtol=1e-6, atol=1e-6)
+
+
+def test_tile_positions_match_reference():
+    # reference: list(range(0, h-tile, stride)) + [h-tile]
+    assert tiling._tile_starts(100, 48, 32) == [0, 32, 52]
+    assert tiling._tile_starts(48, 48, 16) == [0]
+
+
+def test_forward_whole_image(rng):
+    x = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    out = tiling.forward(_toy_apply, TOY_PARAMS, x, tile=None)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_runner_end_to_end(tmp_path, rng):
+    # synthetic two-image LR/HR dataset
+    pairs = []
+    for i in range(2):
+        hr = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+        lr = hr[::4, ::4]
+        lp, hp = str(tmp_path / f"lr{i}.png"), str(tmp_path / f"hr{i}.png")
+        img_util.imsave(lr, lp)
+        img_util.imsave(hr, hp)
+        pairs.append((lp, hp))
+
+    logger = logging.getLogger("test_runner")
+    logger.addHandler(logging.NullHandler())
+    args = types.SimpleNamespace(save_dir=str(tmp_path / "out"), ssim=True)
+    res = runner.run(_toy_apply, TOY_PARAMS, "toy", 1.0, None, logger, args, mode="valid", pairs=pairs)
+    assert len(res["valid_psnr"]) == 2
+    assert res["valid_ave_runtime"] > 0
+    assert 0 < res["valid_ave_ssim"] <= 1
+    assert os.path.exists(tmp_path / "out" / "toy" / "valid" / f"hr0.png")
+
+
+def test_results_roundtrip_and_table(tmp_path):
+    entry = {
+        "valid_ave_psnr": 29.0, "valid_ave_runtime": 12.3, "valid_memory": 100.0,
+        "num_parameters": 0.433, "flops": 27.1, "activations": 112.0, "num_conv": 64,
+    }
+    jp = str(tmp_path / "results.json")
+    results_mod.save_results(jp, {"00_RFDN_baseline": entry})
+    loaded = results_mod.load_results(jp)
+    assert loaded["00_RFDN_baseline"]["flops"] == 27.1
+    tp = str(tmp_path / "results.txt")
+    results_mod.write_table(tp, loaded, include_test=False)
+    content = open(tp).read()
+    assert "00_RFDN_baseline" in content and "29.00" in content
+
+
+def test_summary_counts_convs():
+    import jax
+    from ntire2022_esr_tpu import ops
+
+    def net(p, x):
+        h = ops.conv(p["a"], x)
+        return ops.conv(p["b"], h, padding=0)
+
+    p = {
+        "a": {"weight": np.zeros((3, 3, 3, 8), np.float32), "bias": np.zeros(8, np.float32)},
+        "b": {"weight": np.zeros((1, 1, 8, 3), np.float32), "bias": np.zeros(3, np.float32)},
+    }
+    c = summary.model_complexity(net, p, (32, 32))
+    assert c["num_conv"] == 2
+    # 3*3*3*8*32*32 + 1*1*8*3*32*32 MACs
+    assert abs(c["flops"] * 1e9 - (3 * 3 * 3 * 8 + 8 * 3) * 32 * 32) < 1
+    assert abs(c["activations"] * 1e6 - (8 + 3) * 32 * 32) < 1
+    assert c["num_parameters"] == pytest.approx((3 * 3 * 3 * 8 + 8 + 8 * 3 + 3) / 1e6)

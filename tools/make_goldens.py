@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Generate golden parity tensors from the PyTorch reference zoo.
+
+Runs the reference's own select_model registry (read-only, torch CPU) on a
+deterministic synthetic image and stores (input, output) pairs under
+tests/goldens/. The JAX parity tests then check our TPU-native
+reimplementations against these without needing torch or the reference at
+test time.
+
+Usage: python tools/make_goldens.py [id ...]   (default: all implemented)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = os.environ.get("NTIRE_REFERENCE", "/root/reference")
+GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
+
+# 64x64 synthetic LR input: large enough for every pooling/window chain.
+H = W = 64
+
+
+def make_input() -> np.ndarray:
+    rng = np.random.RandomState(0)
+    return rng.randint(0, 256, (H, W, 3)).astype(np.uint8)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ids", nargs="*", type=int, default=None)
+    ap.add_argument("--size", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    global H, W
+    H = W = args.size
+
+    import torch
+
+    # torchvision isn't installed and is only needed by an unused tensor2img
+    # path in the reference utils; stub it so the import succeeds.
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_utils = types.ModuleType("torchvision.utils")
+        tv_utils.make_grid = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("stub"))
+        tv.utils = tv_utils
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tv_utils
+
+    # the reference mostly calls torch.load without map_location (GPU-pinned
+    # checkpoints); force CPU mapping.
+    _orig_load = torch.load
+    def _cpu_load(*a, **k):
+        k.setdefault("map_location", "cpu")
+        return _orig_load(*a, **k)
+    torch.load = _cpu_load
+
+    os.chdir(REFERENCE)
+    sys.path.insert(0, REFERENCE)
+    import test_demo  # reference harness (executed read-only for goldens)
+
+    ids = args.ids
+    if not ids:
+        sys.path.insert(0, REPO)
+        from ntire2022_esr_tpu.harness.registry import available_ids
+        ids = available_ids()
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    img = make_input()
+
+    for model_id in ids:
+        ns = types.SimpleNamespace(model_id=model_id)
+        try:
+            model, name, data_range, tile = test_demo.select_model(ns, torch.device("cpu"))
+        except Exception as e:  # e.g. AFDN's .cuda()-in-ctor on CPU-only hosts
+            print(f"[{model_id}] SKIP (select_model failed: {e})")
+            continue
+        model = model.float().eval()
+        x = torch.from_numpy(img.transpose(2, 0, 1)[None].astype(np.float32) / (255.0 / data_range))
+        with torch.no_grad():
+            y = model(x)
+        out = y.numpy()[0].transpose(1, 2, 0)  # HWC
+        path = os.path.join(GOLDEN_DIR, f"model_{model_id:02}.npz")
+        np.savez_compressed(
+            path, input_u8=img, data_range=np.float32(data_range),
+            output=out.astype(np.float32), name=np.bytes_(name),
+        )
+        print(f"[{model_id}] {name}: out {out.shape}, range [{out.min():.3f}, {out.max():.3f}] -> {path}")
+
+
+if __name__ == "__main__":
+    main()
