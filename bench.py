@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Headline benchmark: flagship RLFN (team04, runtime-track winner) x4 SR
+throughput on a 256x256 LR input, single chip.
+
+Baseline: the reference's published RLFN runtime on the challenge GPU
+(Titan Xp): 27.11 ms/image at 256x256-class inputs (BASELINE.md row 1)
+= 36.89 images/sec. ``vs_baseline`` is our images/sec over that.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 1000.0 / 27.11  # Titan Xp, reference protocol
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ntire2022_esr_tpu import config
+    from ntire2022_esr_tpu.harness import registry
+
+    mode = os.environ.get("NTIRE_BENCH_MODE", "parity")
+    config.set_mode(mode)
+
+    apply, params, name, data_range, tile = registry.build_model(4)
+
+    batch = int(os.environ.get("NTIRE_BENCH_BATCH", "128"))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 256, 256, 3).astype(np.float32) * data_range)
+    params = jax.device_put(params)
+
+    jitted = jax.jit(apply)
+    np.asarray(jitted(params, x)[0, 0, 0, 0])  # compile + fence
+
+    # measure: median over iterations. The reference times only the model
+    # forward (CUDA events around the call, D2H excluded). On this backend
+    # block_until_ready does not synchronize remote execution, so we fence
+    # each call with a single-element device->host read instead.
+    iters = int(os.environ.get("NTIRE_BENCH_ITERS", "20"))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = jitted(params, x)
+        np.asarray(out[0, 0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    img_per_sec = batch / dt
+
+    print(json.dumps({
+        "metric": f"RLFN_x4_256px_images_per_sec_per_chip_{mode}",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,15 +30,27 @@ class Numerics:
     matmul_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
 
-_PARITY = Numerics()
-_FAST = Numerics(
-    compute_dtype=jnp.bfloat16,
-    param_dtype=jnp.bfloat16,
-    conv_precision=jax.lax.Precision.DEFAULT,
-    matmul_precision=jax.lax.Precision.DEFAULT,
-)
+_MODES = {
+    # f32 everywhere, 6-pass MXU: bit-close to the PyTorch reference.
+    "parity": Numerics(),
+    # f32 activations/params, single-pass bf16 MXU multiplies with f32
+    # accumulation: ~MXU-speed with f32-accumulated error (PSNR-safe on
+    # natural images; validate per model).
+    "mixed": Numerics(
+        conv_precision=jax.lax.Precision.DEFAULT,
+        matmul_precision=jax.lax.Precision.DEFAULT,
+    ),
+    # bf16 end-to-end (activations too): fastest + half the HBM traffic.
+    "fast": Numerics(
+        compute_dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16,
+        conv_precision=jax.lax.Precision.DEFAULT,
+        matmul_precision=jax.lax.Precision.DEFAULT,
+    ),
+}
 
-_active = _PARITY
+_active = _MODES["parity"]
+_active_name = "parity"
 
 
 def numerics() -> Numerics:
@@ -46,17 +58,15 @@ def numerics() -> Numerics:
 
 
 def set_mode(mode: str) -> None:
-    global _active
-    if mode == "parity":
-        _active = _PARITY
-    elif mode == "fast":
-        _active = _FAST
-    else:
-        raise ValueError(f"unknown numerics mode: {mode!r}")
+    global _active, _active_name
+    if mode not in _MODES:
+        raise ValueError(f"unknown numerics mode: {mode!r} (have {sorted(_MODES)})")
+    _active = _MODES[mode]
+    _active_name = mode
 
 
 def mode() -> str:
-    return "parity" if _active is _PARITY else "fast"
+    return _active_name
 
 
 @contextmanager

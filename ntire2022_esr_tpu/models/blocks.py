@@ -71,6 +71,19 @@ def esa(p: Params, x):
     return x * ops.sigmoid(c4)
 
 
+def esa_no_f(p: Params, x):
+    """team08 SFDN ESA: no conv_f skip — c4 = conv4(c3 + c1_) directly."""
+    c1_ = ops.conv(p["conv1"], x, padding=0)
+    c1 = ops.conv(p["conv2"], c1_, stride=2, padding=0)
+    v_max = ops.max_pool2d(c1, 7, 3)
+    v_range = ops.relu(ops.conv(p["conv_max"], v_max))
+    c3 = ops.relu(ops.conv(p["conv3"], v_range))
+    c3 = ops.conv(p["conv3_"], c3)
+    c3 = ops.interpolate(c3, size=(x.shape[1], x.shape[2]), mode="bilinear")
+    c4 = ops.conv(p["conv4"], c3 + c1_, padding=0)
+    return x * ops.sigmoid(c4)
+
+
 def esa_basic(p: Params, x):
     """basicblock.py ESA (:271-295): conv21 skip, relu on conv3/conv4."""
     x1 = ops.conv(p["conv1"], x, padding=0)
@@ -86,16 +99,21 @@ def esa_basic(p: Params, x):
 # RFD block (rfdn_baseline/block.py:132-166)
 # ---------------------------------------------------------------------------
 
-def rfdb(p: Params, x, slope: float = 0.05):
-    d1 = ops.leaky_relu(ops.conv(p["c1_d"], x, padding=0), slope)
-    r1 = ops.leaky_relu(ops.conv(p["c1_r"], x) + x, slope)
-    d2 = ops.leaky_relu(ops.conv(p["c2_d"], r1, padding=0), slope)
-    r2 = ops.leaky_relu(ops.conv(p["c2_r"], r1) + r1, slope)
-    d3 = ops.leaky_relu(ops.conv(p["c3_d"], r2, padding=0), slope)
-    r3 = ops.leaky_relu(ops.conv(p["c3_r"], r2) + r2, slope)
-    r4 = ops.leaky_relu(ops.conv(p["c4"], r3), slope)
-    out = jnp.concatenate([d1, d2, d3, r4], axis=-1)
-    return esa(p["esa"], ops.conv(p["c5"], out, padding=0))
+def rfdb(p: Params, x, slope: float = 0.05, residual: bool = True, esa_fn=None):
+    """RFD block; ``residual=False`` gives the pruned variant (models 8, 40)
+    where the 3x3 branch drops its +x adds (team40_rfdn_pruned.py:148-163)."""
+    if esa_fn is None:
+        esa_fn = esa
+    h = x
+    distilled = []
+    for i in (1, 2, 3):
+        d = ops.leaky_relu(ops.conv(p[f"c{i}_d"], h, padding=0), slope)
+        r = ops.conv(p[f"c{i}_r"], h)
+        h = ops.leaky_relu(r + h if residual else r, slope)
+        distilled.append(d)
+    r4 = ops.leaky_relu(ops.conv(p["c4"], h), slope)
+    out = jnp.concatenate(distilled + [r4], axis=-1)
+    return esa_fn(p["esa"], ops.conv(p["c5"], out, padding=0))
 
 
 # ---------------------------------------------------------------------------

@@ -11,8 +11,11 @@ from __future__ import annotations
 import functools
 
 from ntire2022_esr_tpu.harness.registry import ModelSpec, register
+from ntire2022_esr_tpu.models.fmen import fmen_apply
 from ntire2022_esr_tpu.models.imdn import imdn_apply
+from ntire2022_esr_tpu.models.plainrfdn import plainrfdn_apply
 from ntire2022_esr_tpu.models.rfdn import rfdn_apply
+from ntire2022_esr_tpu.models.rlfn import rlfn_apply
 
 register(ModelSpec(
     model_id=-1, name="-1_IMDN_baseline",
@@ -24,6 +27,24 @@ register(ModelSpec(
     model_id=0, name="00_RFDN_baseline",
     apply=rfdn_apply,
     ckpt="rfdn_baseline.pth", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=3, name="03_FMEN",
+    apply=fmen_apply,
+    ckpt="team03_fmen.pth", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=4, name="04_RLFN",
+    apply=rlfn_apply,
+    ckpt="team04_rlfn.pth", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=5, name="05_EFDN",
+    apply=plainrfdn_apply,
+    ckpt="team05_efdn.pt", data_range=255.0,
 ))
 
 register(ModelSpec(

@@ -1,0 +1,5 @@
+from ntire2022_esr_tpu.parallel.mesh import data_mesh, make_mesh  # noqa: F401
+from ntire2022_esr_tpu.parallel.eval import (  # noqa: F401
+    sharded_batch_apply,
+    sharded_eval_step,
+)

@@ -6,10 +6,18 @@ virtual CPU mesh. Set before any jax import.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = os.environ.get("NTIRE_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("NTIRE_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize imports jax at interpreter start and pins the
+# platform config; env vars alone no longer take effect, so update the
+# config directly (safe: no backend has been initialised yet).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,52 @@
+"""Sharded evaluation over the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ntire2022_esr_tpu.parallel import make_mesh, sharded_batch_apply, sharded_eval_step
+from ntire2022_esr_tpu.parallel.eval import psnr_from_mse
+
+
+def _toy_apply(params, x):
+    y = jnp.repeat(jnp.repeat(x, 4, axis=1), 4, axis=2)
+    return y * params["w"]
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8,)
+
+
+def test_sharded_batch_apply_matches_single_device(rng):
+    mesh = make_mesh()
+    params = {"w": np.float32(2.0)}
+    x = jnp.asarray(rng.rand(16, 8, 8, 3).astype(np.float32))
+    f = sharded_batch_apply(_toy_apply, mesh)
+    out = f(params, x)
+    ref = _toy_apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    # batch axis is actually sharded across the mesh
+    assert len(out.sharding.device_set) == 8
+
+
+def test_sharded_eval_step_psnr(rng):
+    mesh = make_mesh()
+    params = {"w": np.float32(1.0)}
+    lr = jnp.asarray(rng.rand(8, 12, 12, 3).astype(np.float32))
+    hr_perfect = jnp.repeat(jnp.repeat(lr, 4, axis=1), 4, axis=2)
+    hr_u8 = jnp.round(jnp.clip(hr_perfect, 0, 1) * 255.0)
+    step = sharded_eval_step(_toy_apply, mesh, data_range=1.0)
+    sr, mse = step(params, lr, hr_u8)
+    assert mse.shape == (8,)
+    # model output == HR here, so mse ~ 0 and PSNR is huge
+    assert float(jnp.max(mse)) < 0.5  # only u8 rounding error
+    psnr = psnr_from_mse(jnp.maximum(mse, 1e-8))
+    assert float(jnp.min(psnr)) > 55.0
+
+
+def test_mesh_too_many_devices():
+    with pytest.raises(ValueError):
+        make_mesh(99)
