@@ -99,16 +99,18 @@ def esa_basic(p: Params, x):
 # RFD block (rfdn_baseline/block.py:132-166)
 # ---------------------------------------------------------------------------
 
-def rfdb(p: Params, x, slope: float = 0.05, residual: bool = True, esa_fn=None):
+def rfdb(p: Params, x, slope: float = 0.05, residual: bool = True, esa_fn=None,
+         dilations=(1, 1, 1)):
     """RFD block; ``residual=False`` gives the pruned variant (models 8, 40)
-    where the 3x3 branch drops its +x adds (team40_rfdn_pruned.py:148-163)."""
+    where the 3x3 branch drops its +x adds (team40_rfdn_pruned.py:148-163);
+    ``dilations=(1,2,5)`` gives the dilated variant (model 13)."""
     if esa_fn is None:
         esa_fn = esa
     h = x
     distilled = []
     for i in (1, 2, 3):
         d = ops.leaky_relu(ops.conv(p[f"c{i}_d"], h, padding=0), slope)
-        r = ops.conv(p[f"c{i}_r"], h)
+        r = ops.conv(p[f"c{i}_r"], h, dilation=dilations[i - 1])
         h = ops.leaky_relu(r + h if residual else r, slope)
         distilled.append(d)
     r4 = ops.leaky_relu(ops.conv(p["c4"], h), slope)

@@ -11,10 +11,20 @@ from __future__ import annotations
 import functools
 
 from ntire2022_esr_tpu.harness.registry import ModelSpec, register
+from ntire2022_esr_tpu.models import blocks
 from ntire2022_esr_tpu.models.fmen import fmen_apply
 from ntire2022_esr_tpu.models.imdn import imdn_apply
 from ntire2022_esr_tpu.models.plainrfdn import plainrfdn_apply
+from ntire2022_esr_tpu.models.arfdn import arfdn_apply
+from ntire2022_esr_tpu.models.fden import fden_apply
+from ntire2022_esr_tpu.models.repafdn import repafdn_apply
 from ntire2022_esr_tpu.models.rfdn import rfdn_apply
+from ntire2022_esr_tpu.models.rfdn_variants import (
+    bmdn_apply,
+    frfdn_apply,
+    rfdn35_apply,
+    rfdnext_apply,
+)
 from ntire2022_esr_tpu.models.rlfn import rlfn_apply
 
 register(ModelSpec(
@@ -45,6 +55,78 @@ register(ModelSpec(
     model_id=5, name="05_EFDN",
     apply=plainrfdn_apply,
     ckpt="team05_efdn.pt", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=6, name="06_V1",
+    apply=rfdn_apply,
+    ckpt="team06_v1.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=8, name="08_RFDN",  # "SFDN" (reference test_demo.py:79 keeps RFDN)
+    apply=functools.partial(rfdn_apply, residual=False, esa_fn=blocks.esa_no_f),
+    ckpt="team08_sfdn.pt", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=22, name="22_RFDN40",
+    apply=rfdn_apply,
+    ckpt="team22_rep_rfdn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=40, name="40_RFDNPrune",
+    apply=functools.partial(rfdn_apply, residual=False),
+    ckpt="team40_rfdn_pruned.pth", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=10, name="10_RePAFDN",
+    apply=repafdn_apply,
+    ckpt="team10_repafdn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=13, name="13_RFDN_Dilated",
+    apply=functools.partial(rfdn_apply, dilations=(1, 2, 5)),
+    ckpt="team13_rfdn_dilated.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=14, name="14_ARFDN",
+    apply=arfdn_apply,
+    ckpt="team14_arfdn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=17, name="17_FDEN",
+    apply=fden_apply,
+    ckpt="team17_fden.pth", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=25, name="25_FasterRFDN",
+    apply=frfdn_apply,
+    ckpt="team25_frfdn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=35, name="35_RFDN",
+    apply=rfdn35_apply,
+    ckpt="team35_rfdn.pt", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=37, name="37_BMDN",
+    apply=bmdn_apply,
+    ckpt="team37_bmdn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=38, name="38_RFDN",  # RFDNext, block_type=RFDB
+    apply=rfdnext_apply,
+    ckpt="team38_rfdnext.pth", data_range=1.0,
 ))
 
 register(ModelSpec(
