@@ -1,0 +1,57 @@
+"""m_RFDN — team33 "Multicog" (reference models/team33_m_rfdn/m_RFDN.py:7-54).
+
+RFDN body with Multiception convs (parallel depthwise k in {1,3,5} -> BN ->
+pointwise -> BN) and a progressive upsampler: 2x (nearest x2 -> conv ->
+pixel attention -> conv), LeakyReLU(0.2).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ntire2022_esr_tpu import ops
+from ntire2022_esr_tpu.models import blocks
+
+
+def _multiception(p, x, n_kernels: int):
+    c = x.shape[-1]
+    seps = [ops.conv(p["seps"][str(i)], x, groups=c) for i in range(n_kernels)]
+    out = jnp.concatenate(seps, axis=-1)
+    out = ops.batch_norm(p["bn1"], out)
+    out = ops.conv(p["pointwise"], out, padding=0)
+    return ops.batch_norm(p["bn2"], out)
+
+
+def _m_rfdb(p, x, slope: float = 0.05):
+    h = x
+    distilled = []
+    for i in (1, 2, 3):
+        d = ops.leaky_relu(_multiception(p[f"c{i}_d"], h, 1), slope)
+        r = _multiception(p[f"c{i}_r"], h, 3)
+        h = ops.leaky_relu(r + h, slope)
+        distilled.append(d)
+    r4 = ops.leaky_relu(_multiception(p["c4"], h, 3), slope)
+    out = jnp.concatenate(distilled + [r4], axis=-1)
+    return blocks.esa(p["esa"], ops.conv(p["c5"], out, padding=0))
+
+
+def m_rfdn_apply(params, x, *, num_modules: int = 4):
+    fea = ops.conv(params["fea_conv"], x)
+    outs = []
+    h = fea
+    for i in range(1, num_modules + 1):
+        h = _m_rfdb(params[f"B{i}"], h)
+        outs.append(h)
+    h = ops.leaky_relu(ops.conv(blocks.seq(params["c"], 0), jnp.concatenate(outs, axis=-1), padding=0), 0.05)
+    h = ops.conv(params["LR_conv"], h) + fea
+
+    def pa(p, v):
+        return v * ops.sigmoid(ops.conv(p["conv"], v, padding=0))
+
+    h = ops.conv(params["upconv1"], ops.interpolate(h, scale_factor=2, mode="nearest"))
+    h = ops.leaky_relu(pa(params["att1"], h), 0.2)
+    h = ops.leaky_relu(ops.conv(params["HRconv1"], h), 0.2)
+    h = ops.conv(params["upconv2"], ops.interpolate(h, scale_factor=2, mode="nearest"))
+    h = ops.leaky_relu(pa(params["att2"], h), 0.2)
+    h = ops.leaky_relu(ops.conv(params["HRconv2"], h), 0.2)
+    return ops.conv(params["conv_last"], h)

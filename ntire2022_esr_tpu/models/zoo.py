@@ -25,6 +25,16 @@ from ntire2022_esr_tpu.models.rfdn_variants import (
     rfdn35_apply,
     rfdnext_apply,
 )
+from ntire2022_esr_tpu.models.misc_conv import (
+    esan_apply,
+    imdn_plus_apply,
+    lwfanet_apply,
+    mdgn_apply,
+    sr_model_apply,
+)
+from ntire2022_esr_tpu.models.m_rfdn import m_rfdn_apply
+from ntire2022_esr_tpu.models.resdn import resdn_apply
+from ntire2022_esr_tpu.models.rfesr import rfesr_apply
 from ntire2022_esr_tpu.models.rlfn import rlfn_apply
 
 register(ModelSpec(
@@ -127,6 +137,54 @@ register(ModelSpec(
     model_id=38, name="38_RFDN",  # RFDNext, block_type=RFDB
     apply=rfdnext_apply,
     ckpt="team38_rfdnext.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=24, name="24_MDGN",
+    apply=mdgn_apply,
+    ckpt="team24_mdgn.pth", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=27, name="27_LWFANet",
+    apply=lwfanet_apply,
+    ckpt="team27_lwfanet.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=31, name="31_SR_model",
+    apply=sr_model_apply,
+    ckpt="team31_sr_model.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=34, name="34_ESAN",
+    apply=esan_apply,
+    ckpt="team34_esan.pt", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=39, name="39_IMDN_plus",
+    apply=imdn_plus_apply,
+    ckpt="team39_imdn_plus.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=33, name="33_m_RFDN",
+    apply=m_rfdn_apply,
+    ckpt="team33_m_rfdn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=36, name="36_RFESR",
+    apply=rfesr_apply,
+    ckpt="team36_rfesr.pt", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=43, name="43_ResDN",
+    apply=resdn_apply,
+    ckpt="team43_resdn.pth", data_range=1.0,
 ))
 
 register(ModelSpec(
