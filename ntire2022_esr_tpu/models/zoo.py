@@ -32,7 +32,13 @@ from ntire2022_esr_tpu.models.misc_conv import (
     mdgn_apply,
     sr_model_apply,
 )
+from ntire2022_esr_tpu.models.clrfdn import clrfdn_apply
+from ntire2022_esr_tpu.models.imdeception import imdeception_apply
+from ntire2022_esr_tpu.models.nasnetbn import nasnetbn_apply
+from ntire2022_esr_tpu.models.prrn import prrn_apply
 from ntire2022_esr_tpu.models.m_rfdn import m_rfdn_apply
+from ntire2022_esr_tpu.models.msdn import msdn_apply
+from ntire2022_esr_tpu.models.rlcsr import rlcsr_apply
 from ntire2022_esr_tpu.models.resdn import resdn_apply
 from ntire2022_esr_tpu.models.rfesr import rfesr_apply
 from ntire2022_esr_tpu.models.rlfn import rlfn_apply
@@ -185,6 +191,42 @@ register(ModelSpec(
     model_id=43, name="43_ResDN",
     apply=resdn_apply,
     ckpt="team43_resdn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=19, name="19_IMDeception",
+    apply=imdeception_apply,
+    ckpt="team19_imdeception.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=42, name="42_RLCSR",
+    apply=rlcsr_apply,
+    ckpt="team42_rlcsr.pt", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=44, name="44_MSDN",
+    apply=msdn_apply,
+    ckpt="team44_msdn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=16, name="16_PRRN",
+    apply=prrn_apply,
+    ckpt="team16_prrn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=28, name="28_NASNetBN",
+    apply=nasnetbn_apply,
+    ckpt="team28_nasnetbn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=29, name="29_RFDN_Conv3X3",
+    apply=clrfdn_apply,
+    ckpt="team29_clrfdn.pth", data_range=255.0,
 ))
 
 register(ModelSpec(
