@@ -32,7 +32,11 @@ from ntire2022_esr_tpu.models.misc_conv import (
     mdgn_apply,
     sr_model_apply,
 )
+from ntire2022_esr_tpu.models.aaln import aaln_apply
+from ntire2022_esr_tpu.models.bsrn import bsrn_apply
+from ntire2022_esr_tpu.models.mdan import mdan_apply
 from ntire2022_esr_tpu.models.clrfdn import clrfdn_apply
+from ntire2022_esr_tpu.models.efdn import efdn_apply
 from ntire2022_esr_tpu.models.imdeception import imdeception_apply
 from ntire2022_esr_tpu.models.nasnetbn import nasnetbn_apply
 from ntire2022_esr_tpu.models.prrn import prrn_apply
@@ -227,6 +231,31 @@ register(ModelSpec(
     model_id=29, name="29_RFDN_Conv3X3",
     apply=clrfdn_apply,
     ckpt="team29_clrfdn.pth", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=1, name="01_EFDN",
+    apply=efdn_apply,
+    ckpt="team01_efdn.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=18, name="18_RFDNFINALB5",  # BSRN
+    apply=bsrn_apply,
+    ckpt="team18_bsrn.pth", data_range=1.0,
+    linear_keys=(r".*",),  # all 2-D weights in BSRN are nn.Linear pointwise convs
+))
+
+register(ModelSpec(
+    model_id=11, name="11_AALN",
+    apply=aaln_apply,
+    ckpt="team11_aaln.pt", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=23, name="23_MDAN",
+    apply=mdan_apply,
+    ckpt="team23_mdan.pt", data_range=255.0,
 ))
 
 register(ModelSpec(
