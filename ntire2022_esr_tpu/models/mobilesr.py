@@ -1,0 +1,62 @@
+"""MobileSR — team20 "NJUST_ESR" (reference models/team20_mobilesr.py:153-185).
+
+Alternating windowed-MHSA transformers (window 8, pad-to-multiple) and
+inverted-residual conv blocks; two-stage PixelShuffle(2)^2 upsample and a
+global bilinear x4 residual.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ntire2022_esr_tpu import ops
+from ntire2022_esr_tpu.models import blocks
+from ntire2022_esr_tpu.ops import attention as attn_ops
+
+
+def _self_attn(p, x, num_heads: int):
+    b, n, c = x.shape
+    qkv = ops.linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = attn_ops.multi_head_attention(q, k, v, num_heads)
+    return ops.linear(p["proj_out"], out)
+
+
+def _transformer(p, x, num_heads: int = 8, ws: int = 8):
+    c = x.shape[-1]
+    x = x + ops.conv(p["pos_embed"], x, groups=c)
+    b, h, w, _ = x.shape
+    shortcut = x
+    hn = ops.layer_norm(p["norm1"], x)
+    hp, _, _ = attn_ops.pad_to_multiple(hn, ws)
+    hp_h, hp_w = hp.shape[1], hp.shape[2]
+    windows = attn_ops.window_partition(hp, ws)
+    windows = _self_attn(p["attn"], windows, num_heads)
+    hp = attn_ops.window_reverse(windows, ws, hp_h, hp_w)
+    x = shortcut + hp[:, :h, :w, :]
+    mlp = p["mlp"]["fc"]
+    mlp_out = ops.linear(blocks.seq(mlp, 2), ops.gelu(ops.linear(blocks.seq(mlp, 0), ops.layer_norm(p["norm2"], x))))
+    return x + mlp_out
+
+
+def _res_block(p, x, slope: float = 0.2):
+    net = p["net"]
+    h = ops.leaky_relu(ops.conv(blocks.seq(net, 0), x, padding=0), slope)
+    h = ops.leaky_relu(ops.conv(blocks.seq(net, 2), h, groups=h.shape[-1]), slope)
+    h = ops.conv(blocks.seq(net, 4), h, padding=0)
+    return h + x
+
+
+def mobilesr_apply(params, x, *, n_blocks: int = 5, num_heads: int = 8, upscale: int = 4):
+    x0 = ops.conv(params["head"], x)
+    h = x0
+    layers = params["body"]["layers"]
+    for i in range(n_blocks):
+        h = _transformer(layers[str(i)]["0"], h, num_heads)
+        h = _res_block(layers[str(i)]["1"], h)
+    h = ops.conv(params["fuse"], jnp.concatenate([x0, h], axis=-1))
+    up = params["upsapling"]
+    h = ops.pixel_shuffle(ops.conv(blocks.seq(up, 0), h, padding=0), 2)
+    h = ops.pixel_shuffle(ops.conv(blocks.seq(up, 2), h, padding=0), 2)
+    h = ops.conv(params["tail"], ops.leaky_relu(h, 0.2))
+    return h + ops.interpolate(x, scale_factor=upscale, mode="bilinear")

@@ -1,0 +1,65 @@
+"""SCET — team30 "Giantpandacv" (reference models/team30_scet.py:230-259).
+
+16 self-calibrated SCPA conv blocks + one Restormer-style TransformerBlock
+(MDTA channel attention + gated dconv FFN, WithBias LayerNorm), dual
+PixelShuffle heads summed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ntire2022_esr_tpu import ops
+from ntire2022_esr_tpu.models import blocks
+from ntire2022_esr_tpu.ops import attention as attn_ops
+
+SLOPE = 0.2
+
+
+def _paconv(p, x):
+    y = ops.sigmoid(ops.conv(p["k2"], x, padding=0))
+    out = ops.conv(p["k3"], x) * y
+    return ops.conv(p["k4"], out)
+
+
+def _scpa(p, x):
+    a = ops.leaky_relu(ops.conv(p["conv1_a"], x, padding=0), SLOPE)
+    b = ops.leaky_relu(ops.conv(p["conv1_b"], x, padding=0), SLOPE)
+    a = ops.leaky_relu(ops.conv(blocks.seq(p["k1"], 0), a), SLOPE)
+    b = ops.leaky_relu(_paconv(p["PAConv"], b), SLOPE)
+    out = ops.conv(p["conv3"], jnp.concatenate([a, b], axis=-1), padding=0)
+    return out + x
+
+
+def _gdfn(p, x):
+    h = ops.conv(p["project_in"], x, padding=0)
+    h = ops.conv(p["dwconv"], h, groups=h.shape[-1])
+    x1, x2 = jnp.split(h, 2, axis=-1)
+    return ops.conv(p["project_out"], ops.gelu(x1) * x2, padding=0)
+
+
+def _with_bias_ln(p, x):
+    return ops.layer_norm(p["body"], x, eps=1e-5)
+
+
+def _transformer_block(p, x, num_heads: int = 8):
+    h = _with_bias_ln(p["norm1"], x)
+    x = x + attn_ops.mdta_channel_attention(p["attn"], h, num_heads, p["attn"]["temperature"])
+    x = x + _gdfn(p["ffn"], _with_bias_ln(p["norm2"], x))
+    return x
+
+
+def scet_apply(params, x, *, n_scpa: int = 16, upscale: int = 4):
+    h = ops.conv(params["conv3"], x)
+    p1 = params["path1"]
+    h1 = h
+    for i in range(n_scpa):
+        h1 = _scpa(p1["0"]["arr"][str(i)], h1)
+    h1 = _transformer_block(p1["1"]["arr"]["0"], h1)
+    h1 = ops.conv(p1["2"], h1)
+    h1 = ops.pixel_shuffle(h1, upscale)
+    h1 = ops.conv(p1["4"], h1)
+
+    h2 = ops.pixel_shuffle(h, upscale)
+    h2 = ops.conv(params["path2"]["1"], h2)
+    return h1 + h2

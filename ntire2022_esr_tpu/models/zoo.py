@@ -15,6 +15,7 @@ from ntire2022_esr_tpu.models import blocks
 from ntire2022_esr_tpu.models.fmen import fmen_apply
 from ntire2022_esr_tpu.models.imdn import imdn_apply
 from ntire2022_esr_tpu.models.plainrfdn import plainrfdn_apply
+from ntire2022_esr_tpu.models.afdn import afdn_apply
 from ntire2022_esr_tpu.models.arfdn import arfdn_apply
 from ntire2022_esr_tpu.models.fden import fden_apply
 from ntire2022_esr_tpu.models.repafdn import repafdn_apply
@@ -25,6 +26,7 @@ from ntire2022_esr_tpu.models.rfdn_variants import (
     rfdn35_apply,
     rfdnext_apply,
 )
+from ntire2022_esr_tpu.models.mobilesr import mobilesr_apply
 from ntire2022_esr_tpu.models.misc_conv import (
     esan_apply,
     imdn_plus_apply,
@@ -46,6 +48,7 @@ from ntire2022_esr_tpu.models.rlcsr import rlcsr_apply
 from ntire2022_esr_tpu.models.resdn import resdn_apply
 from ntire2022_esr_tpu.models.rfesr import rfesr_apply
 from ntire2022_esr_tpu.models.rlfn import rlfn_apply
+from ntire2022_esr_tpu.models.scet import scet_apply
 
 register(ModelSpec(
     model_id=-1, name="-1_IMDN_baseline",
@@ -256,6 +259,25 @@ register(ModelSpec(
     model_id=23, name="23_MDAN",
     apply=mdan_apply,
     ckpt="team23_mdan.pt", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=20, name="20_MobileSR",
+    apply=mobilesr_apply,
+    ckpt="team20_mobilesr.pth", data_range=1.0,
+    linear_keys=(r".*",),  # all 2-D weights are nn.Linear (qkv/proj/mlp)
+))
+
+register(ModelSpec(
+    model_id=30, name="30_SCET",
+    apply=scet_apply,
+    ckpt="team30_scet.pth", data_range=1.0,
+))
+
+register(ModelSpec(
+    model_id=15, name="15_AFDN",
+    apply=afdn_apply,
+    ckpt="team15_afdn.pt", data_range=255.0,
 ))
 
 register(ModelSpec(

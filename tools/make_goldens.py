@@ -86,6 +86,11 @@ def main(argv=None):
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     img = make_input()
 
+    # team15's AFDN calls .cuda() + a dummy 256^2 forward in its constructor
+    # (AFDN.py:47-56); neutralise .cuda() so it runs on CPU-only hosts.
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
     # team42's LAM_Module.forward calls .view on a non-contiguous tensor,
     # which newer torch rejects; make the input contiguous (same values).
     try:
