@@ -39,8 +39,11 @@ from ntire2022_esr_tpu.models.bsrn import bsrn_apply
 from ntire2022_esr_tpu.models.mdan import mdan_apply
 from ntire2022_esr_tpu.models.clrfdn import clrfdn_apply
 from ntire2022_esr_tpu.models.efdn import efdn_apply
+from ntire2022_esr_tpu.models.hnct import hnct_apply
+from ntire2022_esr_tpu.models.imdtn import imdtn_apply
 from ntire2022_esr_tpu.models.imdeception import imdeception_apply
 from ntire2022_esr_tpu.models.nasnetbn import nasnetbn_apply
+from ntire2022_esr_tpu.models.nlffc import nlffc_apply
 from ntire2022_esr_tpu.models.prrn import prrn_apply
 from ntire2022_esr_tpu.models.m_rfdn import m_rfdn_apply
 from ntire2022_esr_tpu.models.msdn import msdn_apply
@@ -60,6 +63,13 @@ register(ModelSpec(
     model_id=0, name="00_RFDN_baseline",
     apply=rfdn_apply,
     ckpt="rfdn_baseline.pth", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=2, name="02_NLFFC",
+    apply=nlffc_apply,
+    ckpt="team02_nlffc.pth", data_range=255.0,
+    tile=256,  # the only tiled model (test_demo.py:337)
 ))
 
 register(ModelSpec(
@@ -259,6 +269,24 @@ register(ModelSpec(
     model_id=23, name="23_MDAN",
     apply=mdan_apply,
     ckpt="team23_mdan.pt", data_range=255.0,
+))
+
+register(ModelSpec(
+    model_id=9, name="09_IMDTN",
+    apply=imdtn_apply,
+    ckpt="team09_imdtn.pth", data_range=1.0,
+    linear_keys=(r".*",),  # qkv/proj/mlp linears in the vendored SwinIR
+))
+
+register(ModelSpec(
+    model_id=12, name="12_HNCT",
+    apply=hnct_apply,
+    # NOTE: team12_hnct.pt is absent from the reference mirror
+    # (model_zoo/.MISSING_LARGE_BLOBS); weights/team12_hnct.npz is ported
+    # from a seeded random-init of the reference architecture so the graph
+    # stays fully tested until the real checkpoint is available.
+    ckpt="team12_hnct.pt", data_range=1.0,
+    linear_keys=(r".*",),  # qkv/proj/mlp linears; bias table key is not *.weight
 ))
 
 register(ModelSpec(

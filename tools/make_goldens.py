@@ -44,6 +44,20 @@ def make_input() -> np.ndarray:
     return img[top:top + H, left:left + W].copy()
 
 
+def _port_random_init(model, ckpt_stem: str) -> None:
+    """Port a random-initialised torch model's weights into weights/."""
+    sys.path.insert(0, REPO)
+    from ntire2022_esr_tpu import porter
+    from ntire2022_esr_tpu.harness import registry
+
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    flat = porter.port_state_dict(sd, linear_keys=(r".*",))
+    out = os.path.join(registry.DEFAULT_WEIGHTS_DIR, ckpt_stem + ".npz")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    porter.save_params(out, porter.nest(flat))
+    print(f"  ported random-init weights -> {out}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("ids", nargs="*", type=int, default=None)
@@ -61,9 +75,12 @@ def main(argv=None):
         tv = types.ModuleType("torchvision")
         tv_utils = types.ModuleType("torchvision.utils")
         tv_utils.make_grid = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("stub"))
+        tv_transforms = types.ModuleType("torchvision.transforms")
         tv.utils = tv_utils
+        tv.transforms = tv_transforms
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tv_utils
+        sys.modules["torchvision.transforms"] = tv_transforms
 
     # the reference mostly calls torch.load without map_location (GPU-pinned
     # checkpoints); force CPU mapping.
@@ -86,6 +103,21 @@ def main(argv=None):
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     img = make_input()
 
+    # team12's vendored Swin imports timm just for to_2tuple/trunc_normal_;
+    # provide a minimal stub so HNCT loads without timm installed.
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm_models = types.ModuleType("timm.models")
+        timm_layers = types.ModuleType("timm.models.layers")
+        timm_layers.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
+        timm_layers.trunc_normal_ = lambda t, *a, **k: t
+        timm_layers.DropPath = torch.nn.Identity  # eval-time no-op
+        timm.models = timm_models
+        timm_models.layers = timm_layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = timm_models
+        sys.modules["timm.models.layers"] = timm_layers
+
     # team15's AFDN calls .cuda() + a dummy 256^2 forward in its constructor
     # (AFDN.py:47-56); neutralise .cuda() so it runs on CPU-only hosts.
     torch.nn.Module.cuda = lambda self, *a, **k: self
@@ -105,6 +137,19 @@ def main(argv=None):
         ns = types.SimpleNamespace(model_id=model_id)
         try:
             model, name, data_range, tile = test_demo.select_model(ns, torch.device("cpu"))
+        except FileNotFoundError as e:
+            if model_id == 12:
+                # team12_hnct.pt is absent from the mirror: validate the
+                # architecture against a seeded random init and port those
+                # weights into the framework's npz store.
+                from models.team12_hnct.HNCT import HNCT
+
+                torch.manual_seed(0)
+                model, name, data_range = HNCT(), "12_HNCT", 1.0
+                _port_random_init(model, "team12_hnct")
+            else:
+                print(f"[{model_id}] SKIP (checkpoint missing: {e})")
+                continue
         except Exception as e:  # e.g. AFDN's .cuda()-in-ctor on CPU-only hosts
             print(f"[{model_id}] SKIP (select_model failed: {e})")
             continue
