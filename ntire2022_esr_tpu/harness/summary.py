@@ -70,7 +70,18 @@ def analyze_stablehlo(text: str) -> Dict[str, float]:
 
 
 def count_params(params) -> int:
-    return sum(int(np.prod(np.shape(leaf))) for leaf in jax.tree_util.tree_leaves(params))
+    """Trainable-parameter count (torch ``model.parameters()`` semantics):
+    BatchNorm running stats are buffers and excluded. Note: for weight-normed
+    checkpoints (models 23, 36, 42) the porter folds g*v/||v|| into one
+    weight, so counts are lower than the reference's by the size of the g
+    vectors — the reference counts both g and v."""
+    from ntire2022_esr_tpu.porter.convert import flatten
+
+    return sum(
+        int(np.prod(np.shape(v)))
+        for k, v in flatten(params).items()
+        if not (k.endswith("running_mean") or k.endswith("running_var"))
+    )
 
 
 def model_complexity(apply: Callable, params, input_hw: Tuple[int, int] = (256, 256)) -> Dict[str, float]:

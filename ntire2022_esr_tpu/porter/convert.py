@@ -60,8 +60,11 @@ def port_state_dict(
     """
     sd = fold_weight_norm(sd)
     out: "OrderedDict[str, np.ndarray]" = OrderedDict()
+    # non-parameter buffers our runtime recomputes statically (Swin shift
+    # masks and relative-position index tables)
+    default_drops = ("attn_mask$", "relative_position_index$")
     for k, v in sd.items():
-        if k.endswith("num_batches_tracked") or _matches(k, drop_keys):
+        if k.endswith("num_batches_tracked") or _matches(k, default_drops) or _matches(k, drop_keys):
             continue
         arr = np.asarray(v)
         if _matches(k, raw_keys):
