@@ -50,3 +50,15 @@ def test_sharded_eval_step_psnr(rng):
 def test_mesh_too_many_devices():
     with pytest.raises(ValueError):
         make_mesh(99)
+
+
+def test_sharded_tile_grid(rng):
+    from ntire2022_esr_tpu.parallel.eval import sharded_tiled_apply
+    from ntire2022_esr_tpu.harness import tiling
+
+    mesh = make_mesh()
+    params = {"w": np.float32(1.5)}
+    x = jnp.asarray(rng.rand(1, 70, 90, 3).astype(np.float32))
+    ref = tiling.tiled_apply(_toy_apply, params, x, tile=48, tile_overlap=16)
+    out = sharded_tiled_apply(_toy_apply, mesh, params, x, tile=48, tile_overlap=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,87 @@
+"""Tiled-forward path: NLFFC (the only tiled zoo model) + CLI smoke (CPU)."""
+
+import logging
+import os
+import subprocess
+import sys
+import types
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "model_02.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="no NLFFC golden")
+def test_nlffc_tiled_matches_whole_image_on_small_input():
+    """With tile >= image size the tiled runner must equal the direct call."""
+    import jax
+
+    from ntire2022_esr_tpu.harness import registry, tiling
+
+    apply, params, name, dr, tile = registry.build_model(2)
+    assert tile == 256
+    g = np.load(GOLDEN)
+    x = (g["input_u8"].astype(np.float32) / (255.0 / dr))[None]
+    direct = np.asarray(jax.jit(apply)(params, x))
+    tiled = np.asarray(tiling.forward(apply, params, x, tile=tile))
+    np.testing.assert_allclose(tiled, direct, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="no NLFFC golden")
+def test_nlffc_tiled_blending_on_large_input(rng):
+    """Input larger than the tile: sweep + accumulate/divide blending."""
+    from ntire2022_esr_tpu.harness import registry, tiling
+
+    apply, params, name, dr, tile = registry.build_model(2)
+    x = rng.rand(1, 80, 100, 3).astype(np.float32) * dr
+    out = np.asarray(tiling.tiled_apply(apply, params, x, tile=64, tile_overlap=32))
+    assert out.shape == (1, 320, 400, 3)
+    assert np.isfinite(out).all()
+
+
+def test_cli_end_to_end(tmp_path):
+    """Full CLI run over a synthetic 3-image DIV2K-layout dataset (CPU)."""
+    from ntire2022_esr_tpu.utils import image
+
+    rng = np.random.RandomState(7)
+    d = tmp_path / "data"
+    (d / "DIV2K_valid_LR").mkdir(parents=True)
+    (d / "DIV2K_valid_HR").mkdir(parents=True)
+    for i in range(801, 804):
+        hr = rng.randint(0, 256, (64, 96, 3)).astype(np.uint8)
+        image.imsave(hr, str(d / "DIV2K_valid_HR" / f"{i:04}.png"))
+        image.imsave(hr[::4, ::4], str(d / "DIV2K_valid_LR" / f"{i:04}x4.png"))
+
+    # restrict the val split to the 3 synthetic images
+    import ntire2022_esr_tpu.harness.data as data_mod
+    from ntire2022_esr_tpu.harness import cli
+
+    orig = data_mod.select_dataset
+
+    def small(data_dir, mode):
+        return orig(data_dir, mode)[:3]
+
+    data_mod.select_dataset = small
+    try:
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        cli.main([
+            "--data_dir", str(d), "--save_dir", str(tmp_path / "out"),
+            "--model_id", "4", "--ssim",
+        ])
+        assert os.path.exists(tmp_path / "results.json")
+        assert os.path.exists(tmp_path / "results.txt")
+        import json
+
+        res = json.load(open(tmp_path / "results.json"))
+        assert "04_RLFN" in res
+        entry = res["04_RLFN"]
+        assert len(entry["valid_psnr"]) == 3
+        assert entry["num_conv"] == 39  # published table value
+        assert abs(entry["num_parameters"] - 0.317) < 0.001
+        table = open(tmp_path / "results.txt").read()
+        assert "04_RLFN" in table
+    finally:
+        os.chdir(cwd)
+        data_mod.select_dataset = orig
