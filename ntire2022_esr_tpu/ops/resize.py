@@ -79,9 +79,16 @@ def _torch_resize_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=512)
-def _matlab_resize_matrix(in_size: int, out_size: int, antialias: bool = True) -> np.ndarray:
-    """MATLAB imresize weights (reference utils_image.calculate_weights_indices)."""
-    scale = out_size / in_size
+def _matlab_resize_matrix(in_size: int, out_size: int, scale: Optional[float] = None,
+                          antialias: bool = True) -> np.ndarray:
+    """MATLAB imresize weights (reference utils_image.calculate_weights_indices).
+
+    ``scale`` is the *requested* scale factor — MATLAB maps coordinates with
+    it, not with out_size/in_size (they differ when ceil() rounds the output
+    size, e.g. 37 * 0.25 -> 10).
+    """
+    if scale is None:
+        scale = out_size / in_size
     kernel_width = 4.0
     if scale < 1 and antialias:
         kernel_width = kernel_width / scale
@@ -142,7 +149,7 @@ def imresize_matlab(x: jax.Array, scale: float) -> jax.Array:
         x = x[None]
     n, h, w, c = x.shape
     oh, ow = int(np.ceil(h * scale)), int(np.ceil(w * scale))
-    y = _apply_separable(x, _matlab_resize_matrix(h, oh), _matlab_resize_matrix(w, ow))
+    y = _apply_separable(x, _matlab_resize_matrix(h, oh, scale), _matlab_resize_matrix(w, ow, scale))
     return y[0] if squeeze else y
 
 
@@ -153,8 +160,8 @@ def imresize_matlab_np(img: np.ndarray, scale: float) -> np.ndarray:
         img = img[:, :, None]
     h, w, c = img.shape
     oh, ow = int(np.ceil(h * scale)), int(np.ceil(w * scale))
-    mh = _matlab_resize_matrix(h, oh).astype(np.float64)
-    mw = _matlab_resize_matrix(w, ow).astype(np.float64)
+    mh = _matlab_resize_matrix(h, oh, scale).astype(np.float64)
+    mw = _matlab_resize_matrix(w, ow, scale).astype(np.float64)
     out = np.einsum("oh,hwc->owc", mh, img.astype(np.float64))
     out = np.einsum("pw,owc->opc", mw, out)
     out = out.astype(np.float32)

@@ -110,3 +110,19 @@ def save_params(path: str, tree: Mapping) -> None:
 def load_params(path: str) -> Dict:
     with np.load(path) as z:
         return nest({k: z[k] for k in z.files})
+
+
+def save_params_orbax(path: str, tree: Mapping) -> None:
+    """Checkpoint a param pytree with orbax (production checkpoint format)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, dict(tree))
+    ckptr.wait_until_finished()
+
+
+def load_params_orbax(path: str) -> Dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)

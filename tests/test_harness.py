@@ -96,3 +96,26 @@ def test_summary_counts_convs():
     assert abs(c["flops"] * 1e9 - (3 * 3 * 3 * 8 + 8 * 3) * 32 * 32) < 1
     assert abs(c["activations"] * 1e6 - (8 + 3) * 32 * 32) < 1
     assert c["num_parameters"] == pytest.approx((3 * 3 * 3 * 8 + 8 + 8 * 3 + 3) / 1e6)
+
+
+def test_device_timer_and_fence():
+    import jax
+    import jax.numpy as jnp
+    from ntire2022_esr_tpu.harness import profiling
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((64, 64))
+    med, times = profiling.device_timer(f, x, iters=3)
+    assert med > 0 and len(times) == 3
+
+
+def test_orbax_roundtrip(tmp_path):
+    from ntire2022_esr_tpu import porter
+
+    tree = {"a": {"weight": np.ones((3, 3, 4, 8), np.float32)},
+            "b": {"bias": np.arange(5, dtype=np.float32)}}
+    path = str(tmp_path / "ckpt")
+    porter.convert.save_params_orbax(path, tree)
+    back = porter.convert.load_params_orbax(path)
+    np.testing.assert_array_equal(back["a"]["weight"], tree["a"]["weight"])
+    np.testing.assert_array_equal(back["b"]["bias"], tree["b"]["bias"])

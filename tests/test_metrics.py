@@ -64,3 +64,22 @@ def test_matlab_imresize_identity_scale1(rng):
     img = rng.rand(16, 16, 3).astype(np.float32)
     out = imresize_matlab_np(img, 1.0)
     np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_matlab_imresize_matches_reference_goldens():
+    """Bit-level parity with the reference's utils_image imresize
+    (utils_image.py:631-774), both numpy and torch variants."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "goldens", "resize_matlab.npz")
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("resize goldens not generated")
+    g = np.load(path)
+    img = g["input"]
+    for scale, key in ((0.25, "np_0_25"), (0.5, "np_0_5"), (2.0, "np_2_0"), (4.0, "np_4_0")):
+        ref = g[key]
+        out = imresize_matlab_np(img, scale)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-6)
+    # torch-tensor variant agrees as well
+    np.testing.assert_allclose(imresize_matlab_np(img, 4.0), g["t_4_0"], atol=2e-6)
