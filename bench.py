@@ -24,7 +24,28 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 1000.0 / 27.11  # Titan Xp, reference protocol
 
 
+def _watchdog(seconds: int) -> None:
+    """Emit a diagnostic JSON line and exit if the device wedges mid-bench
+    (the tunnelled TPU backend can hang indefinitely on a dead grant)."""
+    import signal
+
+    def onalarm(signum, frame):
+        print(json.dumps({
+            "metric": "RLFN_x4_256px_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "error": f"device unresponsive for {seconds}s",
+        }))
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, onalarm)
+    signal.alarm(seconds)
+
+
 def main():
+    _watchdog(int(os.environ.get("NTIRE_BENCH_TIMEOUT", "600")))
+
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,43 @@
+"""Pallas kernel parity (interpret mode on CPU; compiled path runs on TPU)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ntire2022_esr_tpu import ops
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    yield
+
+
+def _ref_chain(x, ws, bs, slope, residual):
+    h = x
+    for wk, bk in zip(ws, bs):
+        h = ops.leaky_relu(ops.conv2d(h, wk, bk), slope)
+    return h + x if residual else h
+
+
+@pytest.mark.parametrize("n_convs,residual,shape,tile", [
+    (3, True, (1, 40, 52, 16), (32, 32)),
+    (1, False, (2, 33, 47, 8), (16, 32)),
+    (2, True, (1, 64, 64, 24), (64, 64)),
+])
+def test_fused_conv3x3_chain(rng, interpret_pallas, n_convs, residual, shape, tile):
+    from ntire2022_esr_tpu.ops.pallas import fused_conv3x3_chain
+
+    n, h, w, c = shape
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.5)
+    ws = [jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.05) for _ in range(n_convs)]
+    bs = [jnp.asarray(rng.randn(c).astype(np.float32) * 0.1) for _ in range(n_convs)]
+    ref = _ref_chain(x, ws, bs, 0.05, residual)
+    out = fused_conv3x3_chain(x, ws, bs, slope=0.05, residual=residual, tile=tile)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Per-model numerics-mode validation: PSNR impact of mixed/bf16 compute.
+
+For every zoo model with a golden, compares the parity (f32/HIGHEST) output
+against mixed (f32 act, 1-pass MXU) and fast (bf16) outputs in the uint8
+scoring domain. Reports the implied PSNR between modes — a proxy for the
+DIV2K PSNR shift when choosing a faster mode (>= ~55 dB between-mode PSNR
+keeps the benchmark PSNR within ~0.01 dB).
+
+Usage: python tools/validate_numerics.py [id ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    import jax
+
+    from ntire2022_esr_tpu import config
+    from ntire2022_esr_tpu.harness import registry
+
+    ids = [int(a) for a in (argv or sys.argv[1:])] or registry.available_ids()
+    gdir = os.path.join(REPO, "tests", "goldens")
+
+    print(f"{'model':22} {'mixed dB':>9} {'fast dB':>9}")
+    for mid in ids:
+        path = os.path.join(gdir, f"model_{mid:02}.npz")
+        if not os.path.exists(path):
+            continue
+        g = np.load(path)
+        dr = float(g["data_range"])
+        x = (g["input_u8"].astype(np.float32) / (255.0 / dr))[None]
+        spec = registry.get_spec(mid)
+        params = registry.load_params(spec)
+
+        outs = {}
+        for mode in ("parity", "mixed", "fast"):
+            config.set_mode(mode)
+            f = jax.jit(lambda p, a: spec.apply(p, a))
+            y = np.asarray(f(params, x), dtype=np.float32)
+            outs[mode] = np.round(np.clip(y, 0, dr) * (255.0 / dr))
+
+        def psnr(a, b):
+            mse = np.mean((a - b) ** 2)
+            return float("inf") if mse == 0 else 20 * np.log10(255.0 / np.sqrt(mse))
+
+        print(f"{spec.name:22} {psnr(outs['parity'], outs['mixed']):9.2f} "
+              f"{psnr(outs['parity'], outs['fast']):9.2f}")
+
+
+if __name__ == "__main__":
+    main()
