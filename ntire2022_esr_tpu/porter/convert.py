@@ -26,14 +26,14 @@ import numpy as np
 def fold_weight_norm(sd: Mapping[str, np.ndarray]) -> "OrderedDict[str, np.ndarray]":
     out: "OrderedDict[str, np.ndarray]" = OrderedDict()
     for k, v in sd.items():
-        if k.endswith(".weight_g"):
-            base = k[: -len(".weight_g")]
+        if k.endswith("weight_g"):
+            base = k[: -len("weight_g")]
             g = v
-            wv = sd[base + ".weight_v"]
+            wv = sd[base + "weight_v"]
             axes = tuple(range(1, wv.ndim))
             norm = np.sqrt(np.sum(wv.astype(np.float64) ** 2, axis=axes, keepdims=True))
-            out[base + ".weight"] = (g.astype(np.float64) * wv / norm).astype(wv.dtype)
-        elif k.endswith(".weight_v"):
+            out[base + "weight"] = (g.astype(np.float64) * wv / norm).astype(wv.dtype)
+        elif k.endswith("weight_v"):
             continue
         else:
             out[k] = v
