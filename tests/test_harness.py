@@ -119,3 +119,31 @@ def test_orbax_roundtrip(tmp_path):
     back = porter.convert.load_params_orbax(path)
     np.testing.assert_array_equal(back["a"]["weight"], tree["a"]["weight"])
     np.testing.assert_array_equal(back["b"]["bias"], tree["b"]["bias"])
+
+
+def test_run_batched_matches_run(tmp_path, rng):
+    import jax
+
+    pairs = []
+    for i, (h, w) in enumerate([(64, 64), (64, 64), (48, 80)]):
+        hr = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        lr = hr[::4, ::4]
+        lp, hp = str(tmp_path / f"lr{i}.png"), str(tmp_path / f"hr{i}.png")
+        img_util.imsave(lr, lp)
+        img_util.imsave(hr, hp)
+        pairs.append((lp, hp))
+
+    logger = logging.getLogger("test_batched")
+    logger.addHandler(logging.NullHandler())
+    args = types.SimpleNamespace(save_dir=str(tmp_path / "o1"), ssim=False)
+    res1 = runner.run(_toy_apply, TOY_PARAMS, "toy", 1.0, None, logger, args, mode="valid", pairs=pairs)
+    args2 = types.SimpleNamespace(save_dir=str(tmp_path / "o2"), ssim=False)
+    res2 = runner.run_batched(_toy_apply, TOY_PARAMS, "toy", 1.0, logger, args2, mode="valid", pairs=pairs)
+    np.testing.assert_allclose(res2["valid_psnr"], res1["valid_psnr"], atol=1e-9)
+
+    # sharded over the virtual mesh too
+    from ntire2022_esr_tpu.parallel import make_mesh
+    args3 = types.SimpleNamespace(save_dir=str(tmp_path / "o3"), ssim=False)
+    res3 = runner.run_batched(_toy_apply, TOY_PARAMS, "toy", 1.0, logger, args3,
+                              mode="valid", pairs=pairs, mesh=make_mesh())
+    np.testing.assert_allclose(res3["valid_psnr"], res1["valid_psnr"], atol=1e-9)
