@@ -5,14 +5,15 @@ convs with elementwise activations at constant resolution. XLA executes
 each conv as its own HBM round-trip; this kernel keeps the whole chain's
 intermediates in VMEM:
 
-  HBM -> [tile+halo DMA] -> conv1 -> act -> conv2 -> act -> ... -> +x -> HBM
+  HBM -> [overlapping tile+halo window] -> conv1 -> act -> ... -> +x -> HBM
 
 Design notes (see /opt/skills/guides/pallas_guide.md):
-- grid over (batch, H-tiles, W-tiles); each program DMAs one input tile
-  with a ``depth``-pixel halo from HBM into VMEM scratch.
-- each 3x3 conv is 3 MXU dots per output row-shift: the (dy, *) taps are
-  gathered into an (TH*TW, 3*Cin) operand so K is 3*Cin (better MXU
-  utilisation than 9 dots with K=Cin), accumulated in f32.
+- grid over (batch, H-tiles, W-tiles); the input BlockSpec uses
+  ``pl.Element`` dims so each program reads an overlapping window with a
+  ``depth``-pixel halo (pallas pipelines the window loads).
+- each 3x3 conv is nine shifted (th, tw, cin) x (cin, cout) MXU dots
+  accumulated in f32 (Mosaic cannot concatenate shifted VMEM views, so
+  taps stay separate dots).
 - torch 'same'-padding semantics across the chain are preserved by
   zeroing halo rows/cols that fall outside the true image after every
   stage (the reference zero-pads each conv's input).
@@ -36,21 +37,21 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _conv3x3_tile(x, w, b, th: int, tw: int, compute_dtype):
+def _conv3x3_tile(x, w, b, th: int, tw: int, compute_dtype, precision):
     """x: (th+2, tw+2, cin) -> (th, tw, cout); valid conv, f32 accumulate."""
-    cin = x.shape[-1]
-    cout = w.shape[-1]
-    acc = jnp.zeros((th * tw, cout), jnp.float32)
+    acc = jnp.zeros((th, tw, w.shape[-1]), jnp.float32)
     for dy in range(3):
-        taps = [x[dy:dy + th, dx:dx + tw, :] for dx in range(3)]
-        a = jnp.concatenate(taps, axis=-1).reshape(th * tw, 3 * cin)
-        wk = w[dy].reshape(3 * cin, cout)
-        acc = acc + jnp.dot(a.astype(compute_dtype), wk.astype(compute_dtype),
-                            preferred_element_type=jnp.float32)
-    out = acc.reshape(th, tw, cout)
+        for dx in range(3):
+            a = x[dy:dy + th, dx:dx + tw, :]
+            acc = acc + jax.lax.dot_general(
+                a.astype(compute_dtype), w[dy, dx].astype(compute_dtype),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
     if b is not None:
-        out = out + b.astype(jnp.float32)
-    return out
+        acc = acc + b.astype(jnp.float32)
+    return acc
 
 
 def _border_mask(out, row0, col0, h: int, w: int):
@@ -61,48 +62,34 @@ def _border_mask(out, row0, col0, h: int, w: int):
     return jnp.where(ok, out, 0.0)
 
 
-def _chain_kernel(x_hbm, *refs, th: int, tw: int, depth: int, h: int, w: int,
-                  slope: float, residual: bool, compute_dtype, out_dtype):
-    *wb_refs, out_ref, scratch, sem = refs
-    n = pl.program_id(0)
+def _chain_kernel(x_ref, *refs, th: int, tw: int, depth: int, h: int, w: int,
+                  slope: float, residual: bool, compute_dtype, out_dtype,
+                  precision):
+    *wb_refs, out_ref = refs
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
-    # input is pre-padded by ``depth`` zeros on top/left (and enough on
-    # bottom/right), so the tile read starts at ti*th (offset already
-    # includes the halo shift)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(ti * th, th + 2 * depth), pl.ds(tj * tw, tw + 2 * depth), :],
-        scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-
-    cur = scratch[:]
+    cur = x_ref[0]
     cur_th = th + 2 * depth
     cur_tw = tw + 2 * depth
-    # global coords of cur[0,0]
+    # global coords of cur[0,0] in the unpadded image
     row0 = ti * th - depth
     col0 = tj * tw - depth
     n_convs = len(wb_refs) // 2
     for k in range(n_convs):
         wk = wb_refs[2 * k][:]
-        bk = wb_refs[2 * k + 1][:] if wb_refs[2 * k + 1] is not None else None
+        bk = wb_refs[2 * k + 1][:]
         cur_th -= 2
         cur_tw -= 2
         row0 += 1
         col0 += 1
-        cur = _conv3x3_tile(cur, wk, bk, cur_th, cur_tw, compute_dtype)
+        cur = _conv3x3_tile(cur, wk, bk, cur_th, cur_tw, compute_dtype, precision)
+        cur = jnp.where(cur >= 0, cur, cur * slope)
         if k < n_convs - 1:
-            cur = jnp.where(cur >= 0, cur, cur * slope)
             cur = _border_mask(cur, row0, col0, h, w)
             cur = cur.astype(compute_dtype)
-    # final stage: activation applied after the (optional) residual add?
-    # RLFB applies act after each conv and then adds x; keep act here.
-    cur = jnp.where(cur >= 0, cur, cur * slope)
     if residual:
-        center = scratch[depth:depth + th, depth:depth + tw, :]
+        center = x_ref[0, depth:depth + th, depth:depth + tw, :]
         cur = cur + center.astype(jnp.float32)
     out_ref[0] = cur.astype(out_dtype)
 
@@ -123,14 +110,18 @@ def fused_conv3x3_chain(
     nm = config.numerics()
     n, h, w, cin = x.shape
     depth = len(weights)
-    th, tw = tile
-    th = min(th, _cdiv(h, 1))
-    tw = min(tw, _cdiv(w, 1))
+    th = min(tile[0], h)
+    tw = max(8, min(tile[1], _cdiv(w, 8) * 8))
     gh, gw = _cdiv(h, th), _cdiv(w, tw)
 
-    # pad: halo of ``depth`` on top/left; halo + tile remainder on bottom/right
+    # Mosaic requires the sublane (W) block dim be a multiple of 8; the
+    # input window reads a few extra (unused) halo columns to satisfy it.
+    win_h = th + 2 * depth
+    win_w = _cdiv(tw + 2 * depth, 8) * 8
+
+    # halo of ``depth`` on top/left; window overrun + tile remainder right/bottom
     pad_b = gh * th - h + 2 * depth
-    pad_r = gw * tw - w + 2 * depth
+    pad_r = gw * tw + win_w - tw - depth - w
     xp = jnp.pad(x, ((0, 0), (depth, pad_b), (depth, pad_r), (0, 0)))
 
     cout = weights[-1].shape[-1]
@@ -145,18 +136,22 @@ def fused_conv3x3_chain(
     kernel = functools.partial(
         _chain_kernel, th=th, tw=tw, depth=depth, h=h, w=w, slope=slope,
         residual=residual, compute_dtype=nm.compute_dtype, out_dtype=x.dtype,
+        precision=nm.conv_precision,
+    )
+
+    # overlapping halo windows via elementwise block indexing
+    in_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(win_h), pl.Element(win_w), pl.Element(cin)),
+        lambda b, i, j: (b, i * th, j * tw, 0),
+        memory_space=pltpu.VMEM,
     )
 
     out = pl.pallas_call(
         kernel,
         grid=(n, gh, gw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + wb_specs,
+        in_specs=[in_spec] + wb_specs,
         out_specs=pl.BlockSpec((1, th, tw, cout), lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, gh * th, gw * tw, cout), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2 * depth, tw + 2 * depth, cin), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
     )(xp, *wb_args)
     return out[:, :h, :w, :]
