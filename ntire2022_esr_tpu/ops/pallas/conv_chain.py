@@ -38,17 +38,29 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _conv3x3_tile(x, w, b, th: int, tw: int, compute_dtype, precision):
-    """x: (th+2, tw+2, cin) -> (th, tw, cout); valid conv, f32 accumulate."""
-    acc = jnp.zeros((th, tw, w.shape[-1]), jnp.float32)
-    for dy in range(3):
+    """x: (th+2, tw+2, cin) -> (th, tw, cout); valid conv, f32 accumulate.
+
+    The dy taps run in a fori_loop (dynamic slice on the majormost dim is
+    cheap) to keep the Mosaic program small — the remote compile helper
+    kills very large fully-unrolled kernels. dx stays unrolled: dynamic
+    sublane starts are not Mosaic-friendly.
+    """
+    cout = w.shape[-1]
+
+    def body(dy, acc):
+        row = jax.lax.dynamic_slice(x, (dy, 0, 0), (th, x.shape[1], x.shape[2]))
+        wdy = jax.lax.dynamic_slice(w, (dy, 0, 0, 0), (1, 3, w.shape[2], cout))[0]
         for dx in range(3):
-            a = x[dy:dy + th, dx:dx + tw, :]
+            a = row[:, dx:dx + tw, :]
             acc = acc + jax.lax.dot_general(
-                a.astype(compute_dtype), w[dy, dx].astype(compute_dtype),
+                a.astype(compute_dtype), wdy[dx].astype(compute_dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
+        return acc
+
+    acc = jax.lax.fori_loop(0, 3, body, jnp.zeros((th, tw, cout), jnp.float32))
     if b is not None:
         acc = acc + b.astype(jnp.float32)
     return acc
