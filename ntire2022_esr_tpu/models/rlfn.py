@@ -23,18 +23,33 @@ def esa_rlfn(p, x):
     return x * ops.sigmoid(c4)
 
 
-def rlfb(p, x, slope: float = 0.05):
-    out = ops.leaky_relu(ops.conv(p["c1_r"], x), slope)
-    out = ops.leaky_relu(ops.conv(p["c2_r"], out), slope)
-    out = ops.leaky_relu(ops.conv(p["c3_r"], out), slope)
-    out = out + x
+def rlfb(p, x, slope: float = 0.05, use_fused: bool = False):
+    if use_fused:
+        from ntire2022_esr_tpu.ops.pallas import fused_conv3x3_chain
+
+        out = fused_conv3x3_chain(
+            x,
+            [p[f"c{i}_r"]["weight"] for i in (1, 2, 3)],
+            [p[f"c{i}_r"].get("bias") for i in (1, 2, 3)],
+            slope=slope, residual=True,
+        )
+    else:
+        out = ops.leaky_relu(ops.conv(p["c1_r"], x), slope)
+        out = ops.leaky_relu(ops.conv(p["c2_r"], out), slope)
+        out = ops.leaky_relu(ops.conv(p["c3_r"], out), slope)
+        out = out + x
     return esa_rlfn(p["esa"], ops.conv(p["c5"], out, padding=0))
 
 
-def rlfn_apply(params, x, *, num_modules: int = 4, upscale: int = 4):
+def rlfn_apply(params, x, *, num_modules: int = 4, upscale: int = 4,
+               use_fused: bool = False):
+    """``use_fused=True`` routes each RLFB's 3-conv body through the Pallas
+    fused chain kernel (ops/pallas/conv_chain.py) — one HBM round-trip per
+    block instead of three. Experimental: Mosaic compiles are slow through
+    the remote-compile tunnel, so the default stays on the XLA path."""
     fea = ops.conv(params["fea_conv"], x)
     h = fea
     for i in range(1, num_modules + 1):
-        h = rlfb(params[f"B{i}"], h)
+        h = rlfb(params[f"B{i}"], h, use_fused=use_fused)
     h = ops.conv(params["LR_conv"], h) + fea
     return ops.pixel_shuffle(ops.conv(blocks.seq(params["upsampler"], 0), h), upscale)

@@ -37,21 +37,24 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _conv3x3_tile(x, w, b, th: int, tw: int, compute_dtype, precision):
-    """x: (th+2, tw+2, cin) -> (th, tw, cout); valid conv, f32 accumulate.
+def _conv3x3_from_ref(src_ref, row_base: int, w_ref, b_ref, th: int, tw: int,
+                      compute_dtype, precision):
+    """Valid 3x3 conv reading a (th+2, tw+2+, cin) region of ``src_ref``
+    starting at static row ``row_base``; returns a (th, tw, cout) value.
 
-    The dy taps run in a fori_loop (dynamic slice on the majormost dim is
-    cheap) to keep the Mosaic program small — the remote compile helper
-    kills very large fully-unrolled kernels. dx stays unrolled: dynamic
-    sublane starts are not Mosaic-friendly.
+    The dy taps run in a fori_loop — ``pl.ds`` dynamic starts are cheap on
+    the majormost dim and keep the Mosaic program small (the remote
+    compile helper kills very large fully-unrolled kernels). dx stays
+    unrolled: dynamic sublane starts are not Mosaic-friendly.
     """
-    cout = w.shape[-1]
+    cout = w_ref.shape[-1]
+    cin = w_ref.shape[-2]
 
     def body(dy, acc):
-        row = jax.lax.dynamic_slice(x, (dy, 0, 0), (th, x.shape[1], x.shape[2]))
-        wdy = jax.lax.dynamic_slice(w, (dy, 0, 0, 0), (1, 3, w.shape[2], cout))[0]
+        row = src_ref[pl.ds(row_base + dy, th)]
+        wdy = w_ref[dy]
         for dx in range(3):
-            a = row[:, dx:dx + tw, :]
+            a = row[:, dx:dx + tw, :cin]
             acc = acc + jax.lax.dot_general(
                 a.astype(compute_dtype), wdy[dx].astype(compute_dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
@@ -61,9 +64,7 @@ def _conv3x3_tile(x, w, b, th: int, tw: int, compute_dtype, precision):
         return acc
 
     acc = jax.lax.fori_loop(0, 3, body, jnp.zeros((th, tw, cout), jnp.float32))
-    if b is not None:
-        acc = acc + b.astype(jnp.float32)
-    return acc
+    return acc + b_ref[:].astype(jnp.float32)
 
 
 def _border_mask(out, row0, col0, h: int, w: int):
@@ -77,29 +78,32 @@ def _border_mask(out, row0, col0, h: int, w: int):
 def _chain_kernel(x_ref, *refs, th: int, tw: int, depth: int, h: int, w: int,
                   slope: float, residual: bool, compute_dtype, out_dtype,
                   precision):
-    *wb_refs, out_ref = refs
+    *wb_refs, out_ref, ping, pong = refs
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
-    cur = x_ref[0]
     cur_th = th + 2 * depth
     cur_tw = tw + 2 * depth
-    # global coords of cur[0,0] in the unpadded image
+    # global coords of the current stage's [0,0] in the unpadded image
     row0 = ti * th - depth
     col0 = tj * tw - depth
     n_convs = len(wb_refs) // 2
+    scratches = [ping, pong]
+    src = x_ref.at[0]
+    cur = None
     for k in range(n_convs):
-        wk = wb_refs[2 * k][:]
-        bk = wb_refs[2 * k + 1][:]
         cur_th -= 2
         cur_tw -= 2
         row0 += 1
         col0 += 1
-        cur = _conv3x3_tile(cur, wk, bk, cur_th, cur_tw, compute_dtype, precision)
+        cur = _conv3x3_from_ref(src, 0, wb_refs[2 * k], wb_refs[2 * k + 1],
+                                cur_th, cur_tw, compute_dtype, precision)
         cur = jnp.where(cur >= 0, cur, cur * slope)
         if k < n_convs - 1:
             cur = _border_mask(cur, row0, col0, h, w)
-            cur = cur.astype(compute_dtype)
+            dst = scratches[k % 2]
+            dst[0:cur_th, 0:cur_tw, 0:cur.shape[-1]] = cur.astype(compute_dtype)
+            src = dst
     if residual:
         center = x_ref[0, depth:depth + th, depth:depth + tw, :]
         cur = cur + center.astype(jnp.float32)
@@ -158,6 +162,8 @@ def fused_conv3x3_chain(
         memory_space=pltpu.VMEM,
     )
 
+    scratch_dtype = nm.compute_dtype
+    c_max = max([cin] + [int(wk.shape[-1]) for wk in weights])
     out = pl.pallas_call(
         kernel,
         grid=(n, gh, gw),
@@ -165,5 +171,9 @@ def fused_conv3x3_chain(
         out_specs=pl.BlockSpec((1, th, tw, cout), lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, gh * th, gw * tw, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, win_w, c_max), scratch_dtype),
+            pltpu.VMEM((win_h, win_w, c_max), scratch_dtype),
+        ],
     )(xp, *wb_args)
     return out[:, :h, :w, :]

@@ -41,3 +41,29 @@ def test_fused_conv3x3_chain(rng, interpret_pallas, n_convs, residual, shape, ti
     ref = _ref_chain(x, ws, bs, 0.05, residual)
     out = fused_conv3x3_chain(x, ws, bs, slope=0.05, residual=residual, tile=tile)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_chain_mixed_channels(rng, interpret_pallas):
+    """RLFB-style chain with differing per-stage widths (46 -> 48 -> 48 -> 46)."""
+    from ntire2022_esr_tpu.ops.pallas import fused_conv3x3_chain
+
+    chans = [(20, 24), (24, 24), (24, 20)]
+    x = jnp.asarray(rng.randn(1, 40, 40, 20).astype(np.float32) * 0.5)
+    ws = [jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.05) for ci, co in chans]
+    bs = [jnp.asarray(rng.randn(co).astype(np.float32) * 0.1) for _, co in chans]
+    ref = _ref_chain(x, ws, bs, 0.05, True)
+    out = fused_conv3x3_chain(x, ws, bs, slope=0.05, residual=True, tile=(32, 32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_rlfn_fused_path_matches(rng, interpret_pallas):
+    from ntire2022_esr_tpu.harness import registry
+
+    spec = registry.get_spec(4)
+    params = registry.load_params(spec)
+    x = jnp.asarray(rng.rand(1, 40, 40, 3).astype(np.float32) * 255.0)
+    base = np.asarray(spec.apply(params, x))
+    from ntire2022_esr_tpu.models.rlfn import rlfn_apply
+
+    fused = np.asarray(rlfn_apply(params, x, use_fused=True))
+    np.testing.assert_allclose(fused, base, rtol=1e-4, atol=1e-3)
