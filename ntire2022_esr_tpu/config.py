@@ -16,10 +16,27 @@ trace time, so switch modes *before* building/jitting an evaluator.
 from __future__ import annotations
 
 import dataclasses
+import os
 from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: XLA/Mosaic compiles through some backends
+# (e.g. a remote-compile tunnel) can take minutes per executable; caching
+# them on disk amortises that across processes. Opt out with
+# NTIRE_COMPILE_CACHE=0, redirect with NTIRE_COMPILE_CACHE_DIR.
+if os.environ.get("NTIRE_COMPILE_CACHE", "1") != "0":
+    try:
+        _cache_dir = os.environ.get(
+            "NTIRE_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "ntire2022_esr_tpu", "jax_cache"),
+        )
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only fs: run without the cache
 
 
 @dataclasses.dataclass
