@@ -24,9 +24,14 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
     apply, params, model_name, data_range, tile = registry.build_model(model_id)
     logger.info(model_name)
 
-    entry = runner.run(apply, params, model_name, data_range, tile, logger, args, mode="valid")
-    if args.include_test:
-        entry.update(runner.run(apply, params, model_name, data_range, tile, logger, args, mode="test"))
+    if getattr(args, "batched", False) and tile is None:
+        entry = runner.run_batched(apply, params, model_name, data_range, logger, args, mode="valid")
+        if args.include_test:
+            entry.update(runner.run_batched(apply, params, model_name, data_range, logger, args, mode="test"))
+    else:
+        entry = runner.run(apply, params, model_name, data_range, tile, logger, args, mode="valid")
+        if args.include_test:
+            entry.update(runner.run(apply, params, model_name, data_range, tile, logger, args, mode="test"))
 
     comp = summary.model_complexity(apply, params, (256, 256))
     logger.info("{:>16s} : {:<.4f} [M]".format("#Activations", comp["activations"]))
@@ -44,8 +49,10 @@ def main(argv=None):
     parser.add_argument("--model_id", default=0, type=int, nargs="+")
     parser.add_argument("--include_test", action="store_true", help="Inference on the DIV2K test set")
     parser.add_argument("--ssim", action="store_true", help="Calculate SSIM")
-    parser.add_argument("--mode", default="parity", choices=["parity", "fast"],
-                        help="numerics: parity=f32 (reference-exact), fast=bf16")
+    parser.add_argument("--mode", default="parity", choices=["parity", "mixed", "fast"],
+                        help="numerics: parity=f32 (reference-exact), mixed=bf16 MXU/f32 act, fast=bf16")
+    parser.add_argument("--batched", action="store_true",
+                        help="shape-bucketed batched evaluation (throughput path)")
     args = parser.parse_args(argv)
     pprint(args)
 
