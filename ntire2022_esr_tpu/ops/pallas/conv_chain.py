@@ -37,33 +37,28 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _conv3x3_from_ref(src_ref, row_base: int, w_ref, b_ref, th: int, tw: int,
+def _conv3x3_from_ref(src_ref, w_refs, b_ref, th: int, tw: int,
                       compute_dtype, precision):
-    """Valid 3x3 conv reading a (th+2, tw+2+, cin) region of ``src_ref``
-    starting at static row ``row_base``; returns a (th, tw, cout) value.
+    """Valid 3x3 conv reading a (th+2, tw+2+, cin) region of ``src_ref``;
+    returns a (th, tw, cout) value.
 
-    The dy taps run in a fori_loop — ``pl.ds`` dynamic starts are cheap on
-    the majormost dim and keep the Mosaic program small (the remote
-    compile helper kills very large fully-unrolled kernels). dx stays
-    unrolled: dynamic sublane starts are not Mosaic-friendly.
+    Fully static: the 9 taps are separate (cin, cout) weight refs and
+    static row/col slices (Mosaic rejects dynamic slices whose trailing
+    dims are not 128-aligned, and cannot concat shifted views).
     """
-    cout = w_ref.shape[-1]
-    cin = w_ref.shape[-2]
-
-    def body(dy, acc):
-        row = src_ref[pl.ds(row_base + dy, th)]
-        wdy = w_ref[dy]
+    cout = w_refs[0].shape[-1]
+    cin = w_refs[0].shape[-2]
+    acc = jnp.zeros((th, tw, cout), jnp.float32)
+    for dy in range(3):
+        row = src_ref[dy:dy + th]
         for dx in range(3):
             a = row[:, dx:dx + tw, :cin]
             acc = acc + jax.lax.dot_general(
-                a.astype(compute_dtype), wdy[dx].astype(compute_dtype),
+                a.astype(compute_dtype), w_refs[dy * 3 + dx][:].astype(compute_dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
-        return acc
-
-    acc = jax.lax.fori_loop(0, 3, body, jnp.zeros((th, tw, cout), jnp.float32))
     return acc + b_ref[:].astype(jnp.float32)
 
 
@@ -87,7 +82,7 @@ def _chain_kernel(x_ref, *refs, th: int, tw: int, depth: int, h: int, w: int,
     # global coords of the current stage's [0,0] in the unpadded image
     row0 = ti * th - depth
     col0 = tj * tw - depth
-    n_convs = len(wb_refs) // 2
+    n_convs = len(wb_refs) // 10  # 9 tap weights + 1 bias per conv
     scratches = [ping, pong]
     src = x_ref.at[0]
     cur = None
@@ -96,7 +91,7 @@ def _chain_kernel(x_ref, *refs, th: int, tw: int, depth: int, h: int, w: int,
         cur_tw -= 2
         row0 += 1
         col0 += 1
-        cur = _conv3x3_from_ref(src, 0, wb_refs[2 * k], wb_refs[2 * k + 1],
+        cur = _conv3x3_from_ref(src, wb_refs[10 * k:10 * k + 9], wb_refs[10 * k + 9],
                                 cur_th, cur_tw, compute_dtype, precision)
         cur = jnp.where(cur >= 0, cur, cur * slope)
         if k < n_convs - 1:
@@ -144,8 +139,11 @@ def fused_conv3x3_chain(
     wb_specs = []
     wb_args = []
     for wk, bk in zip(weights, biases):
-        wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        wb_args.append(jnp.asarray(wk))
+        wk = jnp.asarray(wk)
+        for dy in range(3):
+            for dx in range(3):
+                wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+                wb_args.append(wk[dy, dx])
         wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         wb_args.append(jnp.asarray(bk if bk is not None else jnp.zeros((wk.shape[-1],), x.dtype)))
 
