@@ -111,3 +111,27 @@ def compiled_cost(apply: Callable, params, input_hw: Tuple[int, int] = (256, 256
     if isinstance(ca, list):
         ca = ca[0]
     return dict(ca) if ca else {}
+
+
+def per_layer_report(apply: Callable, params, input_hw: Tuple[int, int] = (256, 256),
+                     top: int = 0) -> str:
+    """Human-readable per-convolution FLOPs table (the TPU analogue of the
+    reference's print_model_with_flops, utils/model_summary.py:122-157)."""
+    h, w = input_hw
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+    text = jax.jit(apply).lower(params, x).as_text()
+    rows = []
+    for m in _CONV_RE.finditer(text):
+        kshape, oshape = _dims(m.group(2)), _dims(m.group(3))
+        kh, kw, ipg, oc = kshape
+        n, oh, ow, _ = oshape
+        macs = kh * kw * ipg * oc * oh * ow * n
+        rows.append((macs, f"conv {kh}x{kw} x{ipg}->{oc} @ {oh}x{ow}"))
+    total = sum(rr[0] for rr in rows) or 1
+    rows.sort(reverse=True)
+    if top:
+        rows = rows[:top]
+    lines = [f"{'MACs':>14}  {'share':>6}  layer"]
+    for macs, desc in rows:
+        lines.append(f"{macs:14,d}  {100*macs/total:5.1f}%  {desc}")
+    return "\n".join(lines)

@@ -114,3 +114,56 @@ def ycbcr2rgb(img: np.ndarray) -> np.ndarray:
     if in_type == np.uint8:
         return out.round().clip(0, 255).astype(np.uint8)
     return (out / 255.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Dihedral augmentations (utils_image.py:280-359) — the 8 flip/rot modes used
+# for self-ensemble / training-time augmentation.
+# ---------------------------------------------------------------------------
+
+def augment_img(img: np.ndarray, mode: int = 0) -> np.ndarray:
+    """Apply one of the 8 dihedral transforms (numpy HWC or HW)."""
+    if mode == 0:
+        return img
+    if mode == 1:
+        return np.flipud(np.rot90(img))
+    if mode == 2:
+        return np.flipud(img)
+    if mode == 3:
+        return np.rot90(img, k=3)
+    if mode == 4:
+        return np.flipud(np.rot90(img, k=2))
+    if mode == 5:
+        return np.rot90(img)
+    if mode == 6:
+        return np.rot90(img, k=2)
+    if mode == 7:
+        return np.flipud(np.rot90(img, k=3))
+    raise ValueError(f"mode must be in 0..7, got {mode}")
+
+
+def inverse_augment_img(img: np.ndarray, mode: int = 0) -> np.ndarray:
+    """Undo :func:`augment_img` (for x8 self-ensemble inference)."""
+    inverse = {0: 0, 1: 1, 2: 2, 3: 5, 4: 4, 5: 3, 6: 6, 7: 7}
+    return augment_img(img, inverse[mode])
+
+
+def augment_imgs(img_list, hflip: bool = True, rot: bool = True, rng=None):
+    """Random joint flip/rotate of an image list (training augmentation)."""
+    import random as _random
+
+    r = rng if rng is not None else _random
+    do_h = hflip and r.random() < 0.5
+    do_v = rot and r.random() < 0.5
+    do_r = rot and r.random() < 0.5
+
+    def _aug(img):
+        if do_h:
+            img = img[:, ::-1, :]
+        if do_v:
+            img = img[::-1, :, :]
+        if do_r:
+            img = img.transpose(1, 0, 2)
+        return img
+
+    return [_aug(img) for img in img_list]

@@ -147,3 +147,14 @@ def test_run_batched_matches_run(tmp_path, rng):
     res3 = runner.run_batched(_toy_apply, TOY_PARAMS, "toy", 1.0, logger, args3,
                               mode="valid", pairs=pairs, mesh=make_mesh())
     np.testing.assert_allclose(res3["valid_psnr"], res1["valid_psnr"], atol=1e-9)
+
+
+def test_per_layer_report():
+    from ntire2022_esr_tpu import ops
+
+    def net(p, x):
+        return ops.conv(p["a"], x)
+
+    p = {"a": {"weight": np.zeros((3, 3, 3, 8), np.float32)}}
+    rep = summary.per_layer_report(net, p, (16, 16))
+    assert "conv 3x3 x3->8 @ 16x16" in rep and "100.0%" in rep

@@ -83,3 +83,13 @@ def test_matlab_imresize_matches_reference_goldens():
         np.testing.assert_allclose(out, ref, atol=2e-6)
     # torch-tensor variant agrees as well
     np.testing.assert_allclose(imresize_matlab_np(img, 4.0), g["t_4_0"], atol=2e-6)
+
+
+def test_augment_roundtrip(rng):
+    from ntire2022_esr_tpu.utils.image import augment_img, inverse_augment_img
+
+    img = rng.rand(8, 10, 3).astype(np.float32)
+    for mode in range(8):
+        out = augment_img(img, mode)
+        back = inverse_augment_img(out, mode)
+        np.testing.assert_array_equal(back, img)
