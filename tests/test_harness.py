@@ -158,3 +158,27 @@ def test_per_layer_report():
     p = {"a": {"weight": np.zeros((3, 3, 3, 8), np.float32)}}
     rep = summary.per_layer_report(net, p, (16, 16))
     assert "conv 3x3 x3->8 @ 16x16" in rep and "100.0%" in rep
+
+
+def test_self_ensemble_consistency(rng):
+    """Ensembling a dihedral-equivariant model must equal the plain forward."""
+    import jax
+    from ntire2022_esr_tpu.harness.ensemble import self_ensemble_x8, _fwd, _INVERSE
+    from ntire2022_esr_tpu.utils.image import augment_img
+
+    # equivariant toy model (pointwise) -> ensemble == identity behaviour
+    ens = self_ensemble_x8(_toy_apply)
+    x = jnp.asarray(rng.rand(1, 12, 12, 3).astype(np.float32))
+    ref = _toy_apply(TOY_PARAMS, x)
+    out = jax.jit(ens)(TOY_PARAMS, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    # device-side transforms match the host augment_img semantics
+    img = rng.rand(6, 9, 3).astype(np.float32)
+    for mode in range(8):
+        dev = np.asarray(_fwd(jnp.asarray(img[None]), mode))[0]
+        host = augment_img(img, mode)
+        np.testing.assert_array_equal(dev, host)
+        # inverse really inverts
+        back = np.asarray(_fwd(jnp.asarray(dev[None]), _INVERSE[mode]))[0]
+        np.testing.assert_array_equal(back, img)
