@@ -1,0 +1,78 @@
+"""Spatial (image-plane) sharding with halo exchange.
+
+For whole-image inference on large inputs (2K/4K), the H axis is sharded
+across the mesh and each device runs the model on its slab extended by an
+``overlap`` halo of rows fetched from its neighbours with ``ppermute``
+(one bidirectional ICI hop), then crops the halo from the x4 output.
+
+Correctness semantics match overlap-tiled inference (harness/tiling.py,
+reference test_demo.py:364-391): exact wherever ``overlap`` covers the
+receptive field; the global top/bottom edges see the model's own zero
+padding, exactly like the unsharded forward. Models with global spatial
+operators (softmax over H*W, FFT over H) are not slab-decomposable — use
+the tile runner's batched grid for those.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def spatial_shard_apply(
+    apply: Callable,
+    mesh: Mesh,
+    params,
+    x: jax.Array,
+    overlap: int = 32,
+    scale: int = 4,
+    axis: str = "data",
+) -> jax.Array:
+    """Run ``apply`` with the image's H axis sharded over ``axis``.
+
+    x: (N, H, W, C) with H divisible by the mesh axis size. Returns the
+    full (N, H*scale, W*scale, C') output, H-sharded on device.
+    """
+    n_dev = mesh.shape[axis]
+    n, h, w, c = x.shape
+    if n_dev == 1:
+        return jax.jit(apply)(params, x)
+    if h % n_dev:
+        raise ValueError(f"H={h} must be divisible by mesh axis size {n_dev}")
+    if overlap > h // n_dev:
+        raise ValueError(f"overlap {overlap} exceeds slab height {h // n_dev}")
+
+    def slab_fn(p, xs):
+        # xs: (N, H/n_dev, W, C) local slab
+        idx = jax.lax.axis_index(axis)
+        up = jax.lax.ppermute(xs[:, -overlap:], axis, [(i, (i + 1) % n_dev) for i in range(n_dev)])
+        down = jax.lax.ppermute(xs[:, :overlap], axis, [(i, (i - 1) % n_dev) for i in range(n_dev)])
+        dead = jnp.zeros_like(up)
+        # Boundary slabs must END at the true image edge so the model's own
+        # zero padding applies there (an extension of zero *inputs* is not
+        # equivalent: biased convs make nonzero activations in the halo).
+        # The dead block sits a full `overlap` of true rows away from the
+        # slab, so it cannot contaminate the kept region.
+        ext_mid = jnp.concatenate([up, xs, down], axis=1)
+        ext_first = jnp.concatenate([xs, down, dead], axis=1)
+        ext_last = jnp.concatenate([dead, up, xs], axis=1)
+        ext = jnp.where(idx == 0, ext_first, jnp.where(idx == n_dev - 1, ext_last, ext_mid))
+        out = apply(p, ext)
+        slab_out = (h // n_dev) * scale
+        start = jnp.where(idx == 0, 0, jnp.where(idx == n_dev - 1, 2 * overlap * scale,
+                                                 overlap * scale))
+        return jax.lax.dynamic_slice_in_dim(out, start, slab_out, axis=1)
+
+    sharded = shard_map(
+        slab_fn, mesh=mesh,
+        in_specs=(P(), P(None, axis, None, None)),
+        out_specs=P(None, axis, None, None),
+        check_rep=False,
+    )
+    fn = jax.jit(sharded)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
+    return fn(params, xs)

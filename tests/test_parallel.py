@@ -62,3 +62,38 @@ def test_sharded_tile_grid(rng):
     ref = tiling.tiled_apply(_toy_apply, params, x, tile=48, tile_overlap=16)
     out = sharded_tiled_apply(_toy_apply, mesh, params, x, tile=48, tile_overlap=16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_shard_exact_for_pointwise_model(rng):
+    from ntire2022_esr_tpu.parallel.spatial import spatial_shard_apply
+
+    mesh = make_mesh()
+    params = {"w": np.float32(2.0)}
+    x = jnp.asarray(rng.rand(2, 64, 40, 3).astype(np.float32))
+    ref = _toy_apply(params, x)
+    out = spatial_shard_apply(_toy_apply, mesh, params, x, overlap=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_spatial_shard_conv_interior_exact(rng):
+    """A small conv stack: interior rows match the unsharded forward exactly
+    when overlap >= receptive field / 2; boundary semantics equal the
+    model's own zero padding."""
+    import jax
+    from ntire2022_esr_tpu import ops
+    from ntire2022_esr_tpu.parallel.spatial import spatial_shard_apply
+
+    k1 = rng.randn(3, 3, 3, 8).astype(np.float32) * 0.2
+    k2 = rng.randn(3, 3, 8, 48).astype(np.float32) * 0.2
+
+    def net(p, a):
+        h = ops.leaky_relu(ops.conv2d(a, p["k1"]), 0.1)
+        h = ops.conv2d(h, p["k2"])
+        return ops.pixel_shuffle(h, 4)
+
+    params = {"k1": k1, "k2": k2}
+    x = jnp.asarray(rng.rand(1, 64, 32, 3).astype(np.float32))
+    ref = np.asarray(jax.jit(net)(params, x))
+    out = np.asarray(spatial_shard_apply(net, make_mesh(), params, x, overlap=4))
+    # RF/2 = 2 <= overlap 4 -> exact everywhere
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
