@@ -25,7 +25,9 @@ import numpy as np
 def fence(out) -> None:
     """Force completion of device work producing ``out`` (tiny D2H read)."""
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(jax.device_get(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf))
+    if getattr(leaf, "ndim", 0):
+        leaf = leaf[(0,) * leaf.ndim]  # 1-element view, no device-side copy
+    np.asarray(jax.device_get(leaf))
 
 
 def device_timer(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> Tuple[float, Sequence[float]]:
