@@ -24,6 +24,12 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
     apply, params, model_name, data_range, tile = registry.build_model(model_id)
     logger.info(model_name)
 
+    if getattr(args, "x8", False):
+        from ntire2022_esr_tpu.harness.ensemble import self_ensemble_x8
+
+        apply = self_ensemble_x8(apply)
+        model_name = model_name + "_x8"
+
     if getattr(args, "batched", False) and tile is None:
         entry = runner.run_batched(apply, params, model_name, data_range, logger, args, mode="valid")
         if args.include_test:
@@ -53,6 +59,8 @@ def main(argv=None):
                         help="numerics: parity=f32 (reference-exact), mixed=bf16 MXU/f32 act, fast=bf16")
     parser.add_argument("--batched", action="store_true",
                         help="shape-bucketed batched evaluation (throughput path)")
+    parser.add_argument("--x8", action="store_true",
+                        help="x8 dihedral self-ensemble inference")
     args = parser.parse_args(argv)
     pprint(args)
 

@@ -85,3 +85,35 @@ def test_cli_end_to_end(tmp_path):
     finally:
         os.chdir(cwd)
         data_mod.select_dataset = orig
+
+
+def test_cli_sweep_isolates_failures(tmp_path):
+    """A failing model id must not kill the sweep (reference crashes there)."""
+    import json
+
+    from ntire2022_esr_tpu.utils import image
+    import ntire2022_esr_tpu.harness.data as data_mod
+    from ntire2022_esr_tpu.harness import cli
+
+    rng = np.random.RandomState(3)
+    d = tmp_path / "data"
+    (d / "DIV2K_valid_LR").mkdir(parents=True)
+    (d / "DIV2K_valid_HR").mkdir(parents=True)
+    for i in range(801, 803):
+        hr = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        image.imsave(hr, str(d / "DIV2K_valid_HR" / f"{i:04}.png"))
+        image.imsave(hr[::4, ::4], str(d / "DIV2K_valid_LR" / f"{i:04}x4.png"))
+
+    orig = data_mod.select_dataset
+    data_mod.select_dataset = lambda dd, m: orig(dd, m)[:2]
+    try:
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        # id 7 is withheld (raises) — sweep must continue to id 24
+        cli.main(["--data_dir", str(d), "--save_dir", str(tmp_path / "o"),
+                  "--model_id", "7", "24"])
+        res = json.load(open(tmp_path / "results.json"))
+        assert "24_MDGN" in res
+    finally:
+        os.chdir(cwd)
+        data_mod.select_dataset = orig
