@@ -17,7 +17,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _tile_starts(size: int, tile: int, stride: int):

@@ -14,7 +14,7 @@ it. Ported weights are cached as .npz and loaded torch-free thereafter.
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -9,8 +9,6 @@ tensors.
 from __future__ import annotations
 
 import os
-from typing import Tuple
-
 import cv2
 import numpy as np
 
