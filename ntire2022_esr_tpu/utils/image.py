@@ -71,6 +71,27 @@ def shave(img: np.ndarray, border: int = 0) -> np.ndarray:
     return img[border : h - border, border : w - border]
 
 
+def read_img(path: str) -> np.ndarray:
+    """HWC BGR float32 in [0,1] (reference read_img, utils_image.py:105-117)."""
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.expand_dims(img, axis=2)
+    if img.shape[2] > 3:
+        img = img[:, :, :3]
+    return img
+
+
+def uint2single(img: np.ndarray) -> np.ndarray:
+    return np.float32(img / 255.0)
+
+
+def single2uint(img: np.ndarray) -> np.ndarray:
+    return np.uint8((img.clip(0, 1) * 255.0).round())
+
+
 # ---------------------------------------------------------------------------
 # Colour-space conversions (utils_image.py:374-439, ITU-R BT.601 matrices)
 # ---------------------------------------------------------------------------
