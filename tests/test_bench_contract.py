@@ -1,0 +1,30 @@
+"""bench.py driver contract: exactly one parseable JSON line on stdout."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_json_contract():
+    env = dict(os.environ)
+    env.update({
+        "PALLAS_AXON_POOL_IPS": "",   # force CPU (skip the axon backend)
+        "JAX_PLATFORMS": "cpu",
+        "NTIRE_BENCH_BATCH": "2",
+        "NTIRE_BENCH_ITERS": "2",
+        "NTIRE_BENCH_TIMEOUT": "560",
+    })
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=580, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"expected exactly one stdout line, got {lines}"
+    rec = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in rec
+    assert rec["value"] > 0 and rec["unit"] == "images/sec"
