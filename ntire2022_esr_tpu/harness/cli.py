@@ -1,7 +1,8 @@
 """CLI batch driver — the TPU-native `test_demo.py` (reference :480-577).
 
     python -m ntire2022_esr_tpu.harness.cli --data_dir D --save_dir S \
-        --model_id N [--include_test] [--ssim] [--mode parity|fast]
+        --model_id N [--include_test] [--ssim] [--mode parity|high|mixed|fast] \
+        [--batched] [--mesh N] [--spatial] [--x8]
 
 Evaluates one zoo model on DIV2K val (optionally test), accumulates
 results.json / results.txt in the cwd, and logs per-image PSNR. A failed
@@ -30,14 +31,25 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
         apply = self_ensemble_x8(apply)
         model_name = model_name + "_x8"
 
+    mesh = None
+    if getattr(args, "mesh", 0):
+        from ntire2022_esr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+
     if getattr(args, "batched", False) and tile is None:
-        entry = runner.run_batched(apply, params, model_name, data_range, logger, args, mode="valid")
+        entry = runner.run_batched(apply, params, model_name, data_range, logger, args,
+                                   mode="valid", mesh=mesh)
         if args.include_test:
-            entry.update(runner.run_batched(apply, params, model_name, data_range, logger, args, mode="test"))
+            entry.update(runner.run_batched(apply, params, model_name, data_range, logger, args,
+                                            mode="test", mesh=mesh))
     else:
-        entry = runner.run(apply, params, model_name, data_range, tile, logger, args, mode="valid")
+        spatial_mesh = mesh if getattr(args, "spatial", False) else None
+        entry = runner.run(apply, params, model_name, data_range, tile, logger, args,
+                           mode="valid", spatial_mesh=spatial_mesh)
         if args.include_test:
-            entry.update(runner.run(apply, params, model_name, data_range, tile, logger, args, mode="test"))
+            entry.update(runner.run(apply, params, model_name, data_range, tile, logger, args,
+                                    mode="test", spatial_mesh=spatial_mesh))
 
     comp = summary.model_complexity(apply, params, (256, 256))
     logger.info("{:>16s} : {:<.4f} [M]".format("#Activations", comp["activations"]))
@@ -55,10 +67,16 @@ def main(argv=None):
     parser.add_argument("--model_id", default=0, type=int, nargs="+")
     parser.add_argument("--include_test", action="store_true", help="Inference on the DIV2K test set")
     parser.add_argument("--ssim", action="store_true", help="Calculate SSIM")
-    parser.add_argument("--mode", default="parity", choices=["parity", "mixed", "fast"],
-                        help="numerics: parity=f32 (reference-exact), mixed=bf16 MXU/f32 act, fast=bf16")
+    parser.add_argument("--mode", default="parity", choices=["parity", "high", "mixed", "fast"],
+                        help="numerics: parity=f32/HIGHEST (reference-exact), high=f32/bf16x3 "
+                             "(strict-parity speed mode), mixed=bf16 MXU/f32 act, fast=bf16")
     parser.add_argument("--batched", action="store_true",
                         help="shape-bucketed batched evaluation (throughput path)")
+    parser.add_argument("--mesh", default=0, type=int, metavar="N",
+                        help="shard over the first N devices (with --batched: data-parallel "
+                             "batch; with --spatial: H-slab shard per image)")
+    parser.add_argument("--spatial", action="store_true",
+                        help="H-slab spatial sharding with halo exchange (needs --mesh N)")
     parser.add_argument("--x8", action="store_true",
                         help="x8 dihedral self-ensemble inference")
     args = parser.parse_args(argv)

@@ -2,8 +2,9 @@
 
 TPU-native differences from the reference:
 - the forward is jitted once per input shape (XLA compile cache); timing
-  wraps the device call with ``jax.block_until_ready`` — the analogue of
-  the reference's CUDA-event pair around the model forward only;
+  wraps the device call with a D2H fence (harness.profiling.fence) — the
+  analogue of the reference's CUDA-event pair around the model forward
+  only (``block_until_ready`` does not synchronize tunnelled backends);
 - image decode of the *next* image overlaps the current device compute via
   a background prefetch thread (host->HBM transfer is started eagerly with
   ``jax.device_put``);
@@ -24,17 +25,24 @@ import numpy as np
 
 from ntire2022_esr_tpu.harness import data as data_mod
 from ntire2022_esr_tpu.harness import tiling
+from ntire2022_esr_tpu.harness.profiling import fence
 from ntire2022_esr_tpu.utils import image as img_util
 from ntire2022_esr_tpu.utils import metrics
 
 
 def _prefetch(pairs, data_range: float, q: Queue) -> None:
-    for lr_path, hr_path in pairs:
-        lr = img_util.imread_uint(lr_path, n_channels=3)
-        x = img_util.uint2nhwc(lr, data_range)
-        dev_x = jax.device_put(x)
-        q.put((lr_path, hr_path, dev_x))
-    q.put(None)
+    # A decode failure must reach the consumer: without the sentinel the
+    # eval loop would block on q.get() forever, so ship the exception itself.
+    try:
+        for lr_path, hr_path in pairs:
+            lr = img_util.imread_uint(lr_path, n_channels=3)
+            x = img_util.uint2nhwc(lr, data_range)
+            dev_x = jax.device_put(x)
+            q.put((lr_path, hr_path, dev_x))
+    except BaseException as exc:  # noqa: BLE001 - relayed to the main thread
+        q.put(exc)
+    else:
+        q.put(None)
 
 
 def run(
@@ -47,6 +55,8 @@ def run(
     args,
     mode: str = "test",
     pairs: Optional[List[Tuple[str, str]]] = None,
+    spatial_mesh=None,
+    spatial_overlap: int = 32,
 ) -> Dict:
     sf = 4
     border = sf
@@ -62,6 +72,24 @@ def run(
     device_params = jax.device_put(params)
     jitted = jax.jit(lambda p, x: tiling.forward(apply, p, x, tile))
 
+    # Optional H-slab spatial sharding over a device mesh (exact for
+    # local-conv models when `spatial_overlap` covers the receptive field;
+    # see parallel/spatial.py). Images whose H is not divisible by the mesh
+    # fall back to the single-device forward.
+    spatial_fn = None
+    n_dev = 1
+    if spatial_mesh is not None and tile is None:
+        from ntire2022_esr_tpu.parallel.spatial import make_spatial_apply
+
+        spatial_fn = make_spatial_apply(apply, spatial_mesh, overlap=spatial_overlap)
+        n_dev = spatial_mesh.devices.size
+
+    def forward(x):
+        if (spatial_fn is not None and x.shape[1] % n_dev == 0
+                and spatial_overlap <= x.shape[1] // n_dev):
+            return spatial_fn(device_params, x)
+        return jitted(device_params, x)
+
     q: Queue = Queue(maxsize=2)
     t = threading.Thread(target=_prefetch, args=(pairs, data_range, q), daemon=True)
     t.start()
@@ -70,14 +98,19 @@ def run(
         item = q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            raise item
         lr_path, hr_path, dev_x = item
         img_name, ext = os.path.splitext(os.path.basename(hr_path))
 
         # compile outside the timed region (the reference times a warm CUDA
-        # graph; first-call XLA compilation is not model runtime)
-        _ = jax.block_until_ready(jitted(device_params, dev_x))
+        # graph; first-call XLA compilation is not model runtime). The fence
+        # is a D2H read: block_until_ready does not synchronize tunnelled
+        # backends, so timing with it would measure dispatch, not compute.
+        fence(forward(dev_x))
         t0 = time.perf_counter()
-        sr = jax.block_until_ready(jitted(device_params, dev_x))
+        sr = forward(dev_x)
+        fence(sr)
         elapsed_ms = (time.perf_counter() - t0) * 1000.0
         results[f"{mode}_runtime"].append(elapsed_ms)
 
@@ -168,8 +201,6 @@ def run_batched(
         jitted = sharded_batch_apply(apply, mesh)
     else:
         jitted = jax.jit(apply)
-
-    from ntire2022_esr_tpu.harness.profiling import fence
 
     per_image: Dict[str, Tuple[np.ndarray, str]] = {}
     for shape, items in sorted(buckets.items()):

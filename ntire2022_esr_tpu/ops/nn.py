@@ -97,6 +97,12 @@ def conv_transpose2d(
     ``flip(permute(w,(2,3,0,1)))`` giving (kh, kw, I, O/g) -> reshaped so a
     regular HWIO conv with lhs_dilation reproduces the op.
     """
+    if groups != 1:
+        # The porter's transpose rule emits (kh, kw, I, O) taps; grouped
+        # transpose convs additionally need per-group channel reordering
+        # that is not implemented — fail loudly rather than compute wrong
+        # results (no zoo model uses one).
+        raise NotImplementedError("conv_transpose2d supports groups=1 only")
     kh, kw = int(w.shape[0]), int(w.shape[1])
     s = _pair(stride)
     ph, pw = _pair(padding)

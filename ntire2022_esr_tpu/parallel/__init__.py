@@ -3,3 +3,7 @@ from ntire2022_esr_tpu.parallel.eval import (  # noqa: F401
     sharded_batch_apply,
     sharded_eval_step,
 )
+from ntire2022_esr_tpu.parallel.spatial import (  # noqa: F401
+    make_spatial_apply,
+    spatial_shard_apply,
+)

@@ -23,28 +23,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 
-def spatial_shard_apply(
+def make_spatial_apply(
     apply: Callable,
     mesh: Mesh,
-    params,
-    x: jax.Array,
     overlap: int = 32,
     scale: int = 4,
     axis: str = "data",
-) -> jax.Array:
-    """Run ``apply`` with the image's H axis sharded over ``axis``.
+) -> Callable:
+    """Build a reusable H-sharded forward: ``fn(params, x) -> y``.
 
-    x: (N, H, W, C) with H divisible by the mesh axis size. Returns the
+    The shard_map is constructed once, so repeated calls share jax.jit's
+    shape-keyed compile cache (one compile per distinct image shape).
+    x: (N, H, W, C) with H divisible by the mesh axis size; returns the
     full (N, H*scale, W*scale, C') output, H-sharded on device.
     """
     n_dev = mesh.shape[axis]
-    n, h, w, c = x.shape
-    if n_dev == 1:
-        return jax.jit(apply)(params, x)
-    if h % n_dev:
-        raise ValueError(f"H={h} must be divisible by mesh axis size {n_dev}")
-    if overlap > h // n_dev:
-        raise ValueError(f"overlap {overlap} exceeds slab height {h // n_dev}")
 
     def slab_fn(p, xs):
         # xs: (N, H/n_dev, W, C) local slab
@@ -62,7 +55,7 @@ def spatial_shard_apply(
         ext_last = jnp.concatenate([dead, up, xs], axis=1)
         ext = jnp.where(idx == 0, ext_first, jnp.where(idx == n_dev - 1, ext_last, ext_mid))
         out = apply(p, ext)
-        slab_out = (h // n_dev) * scale
+        slab_out = xs.shape[1] * scale
         start = jnp.where(idx == 0, 0, jnp.where(idx == n_dev - 1, 2 * overlap * scale,
                                                  overlap * scale))
         return jax.lax.dynamic_slice_in_dim(out, start, slab_out, axis=1)
@@ -73,6 +66,31 @@ def spatial_shard_apply(
         out_specs=P(None, axis, None, None),
         check_rep=False,
     )
-    fn = jax.jit(sharded)
-    xs = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
-    return fn(params, xs)
+    jitted = jax.jit(sharded)
+    plain = jax.jit(apply)
+
+    def fn(params, x):
+        n, h, w, c = x.shape
+        if n_dev == 1:
+            return plain(params, x)
+        if h % n_dev:
+            raise ValueError(f"H={h} must be divisible by mesh axis size {n_dev}")
+        if overlap > h // n_dev:
+            raise ValueError(f"overlap {overlap} exceeds slab height {h // n_dev}")
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
+        return jitted(params, xs)
+
+    return fn
+
+
+def spatial_shard_apply(
+    apply: Callable,
+    mesh: Mesh,
+    params,
+    x: jax.Array,
+    overlap: int = 32,
+    scale: int = 4,
+    axis: str = "data",
+) -> jax.Array:
+    """One-shot convenience wrapper over :func:`make_spatial_apply`."""
+    return make_spatial_apply(apply, mesh, overlap, scale, axis)(params, x)

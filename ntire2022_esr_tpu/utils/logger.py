@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import datetime
 import logging
-import sys
 
 
 def logger_info(logger_name: str, log_path: str = "default_logger.log") -> None:
@@ -22,22 +21,6 @@ def logger_info(logger_name: str, log_path: str = "default_logger.log") -> None:
     sh = logging.StreamHandler()
     sh.setFormatter(formatter)
     log.addHandler(sh)
-
-
-class logger_print:
-    """Tee stdout to a log file (reference utils_logger.py:55-65)."""
-
-    def __init__(self, log_path: str = "default.log"):
-        self.terminal = sys.stdout
-        self.log = open(log_path, "a")
-
-    def write(self, message):
-        self.terminal.write(message)
-        self.log.write(message)
-
-    def flush(self):
-        self.terminal.flush()
-        self.log.flush()
 
 
 def timestamp() -> str:

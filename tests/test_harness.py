@@ -30,6 +30,30 @@ def test_tiled_equals_direct_for_pointwise_model(rng):
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(direct), rtol=1e-6, atol=1e-6)
 
 
+def test_tiled_chunking_matches_unchunked(rng):
+    x = jnp.asarray(rng.rand(1, 70, 90, 3).astype(np.float32))
+    full = tiling.tiled_apply(_toy_apply, TOY_PARAMS, x, tile=48, tile_overlap=16,
+                              max_tiles_per_call=1000)
+    chunked = tiling.tiled_apply(_toy_apply, TOY_PARAMS, x, tile=48, tile_overlap=16,
+                                 max_tiles_per_call=3)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), rtol=1e-6, atol=1e-6)
+
+
+def test_tiled_2k_class_input(rng):
+    # A DIV2K-test-sized LR image (~2040x1020) produces a ~45-tile grid; the
+    # chunked path must handle it without materialising the full tile batch.
+    x = jnp.asarray(rng.rand(1, 1020, 2040, 1).astype(np.float32))
+    out = tiling.tiled_apply(_toy_apply, TOY_PARAMS, x, tile=256, tile_overlap=32)
+    direct = _toy_apply(TOY_PARAMS, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct), rtol=1e-6, atol=1e-6)
+
+
+def test_tiled_apply_rejects_batch(rng):
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    with pytest.raises(ValueError, match="single image"):
+        tiling.tiled_apply(_toy_apply, TOY_PARAMS, x, tile=48)
+
+
 def test_tile_positions_match_reference():
     # reference: list(range(0, h-tile, stride)) + [h-tile]
     assert tiling._tile_starts(100, 48, 32) == [0, 32, 52]
@@ -61,6 +85,43 @@ def test_runner_end_to_end(tmp_path, rng):
     assert res["valid_ave_runtime"] > 0
     assert 0 < res["valid_ave_ssim"] <= 1
     assert os.path.exists(tmp_path / "out" / "toy" / "valid" / f"hr0.png")
+
+
+def test_runner_missing_file_raises(tmp_path, rng):
+    """A dead prefetch thread must surface its error, not hang the loop."""
+    hr = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    hp = str(tmp_path / "hr.png")
+    img_util.imsave(hr, hp)
+    pairs = [(str(tmp_path / "missing_lr.png"), hp)]
+    logger = logging.getLogger("test_runner_err")
+    logger.addHandler(logging.NullHandler())
+    args = types.SimpleNamespace(save_dir=str(tmp_path / "out"), ssim=False)
+    with pytest.raises(Exception):
+        runner.run(_toy_apply, TOY_PARAMS, "toy", 1.0, None, logger, args,
+                   mode="valid", pairs=pairs)
+
+
+def test_run_spatial_matches_run(tmp_path, rng):
+    from ntire2022_esr_tpu.parallel import make_mesh
+
+    pairs = []
+    for i in range(2):
+        hr = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+        lr = hr[::4, ::4]  # LR H=16, divisible by the 8-device mesh
+        lp, hp = str(tmp_path / f"lr{i}.png"), str(tmp_path / f"hr{i}.png")
+        img_util.imsave(lr, lp)
+        img_util.imsave(hr, hp)
+        pairs.append((lp, hp))
+    logger = logging.getLogger("test_spatial_run")
+    logger.addHandler(logging.NullHandler())
+    args = types.SimpleNamespace(save_dir=str(tmp_path / "o1"), ssim=False)
+    ref = runner.run(_toy_apply, TOY_PARAMS, "toy", 1.0, None, logger, args,
+                     mode="valid", pairs=pairs)
+    args2 = types.SimpleNamespace(save_dir=str(tmp_path / "o2"), ssim=False)
+    res = runner.run(_toy_apply, TOY_PARAMS, "toy", 1.0, None, logger, args2,
+                     mode="valid", pairs=pairs, spatial_mesh=make_mesh(),
+                     spatial_overlap=2)
+    np.testing.assert_allclose(res["valid_psnr"], ref["valid_psnr"], atol=1e-9)
 
 
 def test_results_roundtrip_and_table(tmp_path):

@@ -51,6 +51,12 @@ def test_conv_transpose2d(rng):
     out = ops.conv_transpose2d(t2j(x), wj, b.numpy(), stride=2, padding=1, output_padding=1)
     np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-4, atol=1e-4)
 
+    # grouped transpose convs are unsupported (porter rule would be wrong):
+    # must refuse rather than silently compute garbage
+    import pytest
+    with pytest.raises(NotImplementedError):
+        ops.conv_transpose2d(t2j(x), wj, None, stride=2, groups=3)
+
 
 def test_activations(rng):
     x = torch.from_numpy(rng.randn(2, 5, 7, 3).astype(np.float32))
