@@ -23,11 +23,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = os.environ.get("NTIRE_REFERENCE", "/root/reference")
 GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
 
-# 64x64 synthetic LR input: large enough for every pooling/window chain.
+# Default 64x64 synthetic LR input: large enough for every pooling/window
+# chain. Odd non-square sizes (--sizes 63x41,97x127) additionally exercise
+# pad-to-multiple paths (Swin pad-to-8, IMDTN flip-pad-to-6, pixel-unshuffle
+# blocking, ESA bilinear on odd H/W) that never trigger at 64.
 H = W = 64
 
 
-def make_input() -> np.ndarray:
+def make_input(h: int, w: int) -> np.ndarray:
     """A natural-image crop (reference smoke fixture test.bmp).
 
     Uniform-noise inputs are far out of distribution for several nets
@@ -39,9 +42,9 @@ def make_input() -> np.ndarray:
 
     img = cv2.imread(os.path.join(REFERENCE, "utils", "test.bmp"), cv2.IMREAD_UNCHANGED)
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    top = (img.shape[0] - H) // 2
-    left = (img.shape[1] - W) // 2
-    return img[top:top + H, left:left + W].copy()
+    top = (img.shape[0] - h) // 2
+    left = (img.shape[1] - w) // 2
+    return img[top:top + h, left:left + w].copy()
 
 
 def _port_random_init(model, ckpt_stem: str) -> None:
@@ -62,10 +65,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("ids", nargs="*", type=int, default=None)
     ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--sizes", type=str, default=None,
+                    help="comma-separated HxW list (e.g. 63x41,97x127); files get a "
+                         "_HxW suffix; default is one golden at --size (no suffix)")
     args = ap.parse_args(argv)
 
-    global H, W
-    H = W = args.size
+    if args.sizes:
+        sizes = [tuple(int(v) for v in s.split("x")) for s in args.sizes.split(",")]
+    else:
+        sizes = [(args.size, args.size)]
 
     import torch
 
@@ -101,7 +109,6 @@ def main(argv=None):
         ids = available_ids()
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    img = make_input()
 
     # team12's vendored Swin imports timm just for to_2tuple/trunc_normal_;
     # provide a minimal stub so HNCT loads without timm installed.
@@ -154,16 +161,26 @@ def main(argv=None):
             print(f"[{model_id}] SKIP (select_model failed: {e})")
             continue
         model = model.float().eval()
-        x = torch.from_numpy(img.transpose(2, 0, 1)[None].astype(np.float32) / (255.0 / data_range))
-        with torch.no_grad():
-            y = model(x)
-        out = y.numpy()[0].transpose(1, 2, 0)  # HWC
-        path = os.path.join(GOLDEN_DIR, f"model_{model_id:02}.npz")
-        np.savez_compressed(
-            path, input_u8=img, data_range=np.float32(data_range),
-            output=out.astype(np.float32), name=np.bytes_(name),
-        )
-        print(f"[{model_id}] {name}: out {out.shape}, range [{out.min():.3f}, {out.max():.3f}] -> {path}")
+        for (h, w) in sizes:
+            img = make_input(h, w)
+            x = torch.from_numpy(img.transpose(2, 0, 1)[None].astype(np.float32) / (255.0 / data_range))
+            try:
+                with torch.no_grad():
+                    y = model(x)
+            except Exception as e:
+                # a size the reference itself cannot run (shape constraint);
+                # record nothing — the quirk policy replicates such limits
+                print(f"[{model_id}] {name} @ {h}x{w}: reference forward failed ({e}); skipped")
+                continue
+            out = y.numpy()[0].transpose(1, 2, 0)  # HWC
+            suffix = "" if (h, w) == (64, 64) and not args.sizes else f"_{h}x{w}"
+            path = os.path.join(GOLDEN_DIR, f"model_{model_id:02}{suffix}.npz")
+            np.savez_compressed(
+                path, input_u8=img, data_range=np.float32(data_range),
+                output=out.astype(np.float32), name=np.bytes_(name),
+            )
+            print(f"[{model_id}] {name} @ {h}x{w}: out {out.shape}, "
+                  f"range [{out.min():.3f}, {out.max():.3f}] -> {path}")
 
 
 if __name__ == "__main__":
