@@ -113,25 +113,90 @@ def compiled_cost(apply: Callable, params, input_hw: Tuple[int, int] = (256, 256
     return dict(ca) if ca else {}
 
 
-def per_layer_report(apply: Callable, params, input_hw: Tuple[int, int] = (256, 256),
-                     top: int = 0) -> str:
-    """Human-readable per-convolution FLOPs table (the TPU analogue of the
-    reference's print_model_with_flops, utils/model_summary.py:122-157)."""
+_PASSTHROUGH = {
+    # primitives whose output is "the same tensor" for attribution purposes:
+    # a weight flowing through these still names its source param leaf
+    "convert_element_type", "transpose", "reshape", "broadcast_in_dim",
+    "copy", "squeeze", "rev", "stop_gradient",
+}
+
+
+def per_layer_macs(apply: Callable, params, input_hw: Tuple[int, int] = (256, 256)):
+    """Per-op MAC attribution with module-path labels (jaxpr analysis).
+
+    The reference's print_model_with_flops (utils/model_summary.py:122-157)
+    attributes FLOPs to *named torch modules*. Our param pytrees mirror the
+    torch module names (porter convention), so each conv / dot_general in
+    the traced jaxpr is attributed to the param leaf feeding its weight
+    operand — giving rows like ``B1.c1_r.weight`` instead of anonymous
+    shapes, and covering linear/attention matmuls the hook counter misses.
+
+    Returns a list of (macs, label, kind) sorted by MACs descending.
+    """
     h, w = input_hw
     x = jnp.zeros((1, h, w, 3), jnp.float32)
-    text = jax.jit(apply).lower(params, x).as_text()
+    leaves_with_path, _ = jax.tree_util.tree_flatten_with_path(params)
+    paths = [jax.tree_util.keystr(kp).lstrip("[.'").replace("']['", ".").rstrip("']")
+             for kp, _ in leaves_with_path]
+    jaxpr = jax.make_jaxpr(apply)(params, x)
+    names = {}
+    for var, path in zip(jaxpr.jaxpr.invars[:len(paths)], paths):
+        names[var] = path
+
+    def _get(v):
+        try:
+            return names.get(v)
+        except TypeError:  # Literal operands are unhashable
+            return None
+
+    def _name(v) -> str:
+        return _get(v) or "<activation>"
+
     rows = []
-    for m in _CONV_RE.finditer(text):
-        kshape, oshape = _dims(m.group(2)), _dims(m.group(3))
-        kh, kw, ipg, oc = kshape
-        n, oh, ow, _ = oshape
-        macs = kh * kw * ipg * oc * oh * ow * n
-        rows.append((macs, f"conv {kh}x{kw} x{ipg}->{oc} @ {oh}x{ow}"))
-    total = sum(rr[0] for rr in rows) or 1
-    rows.sort(reverse=True)
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim in _PASSTHROUGH and eqn.invars:
+            try:
+                if eqn.invars[0] in names:
+                    names[eqn.outvars[0]] = names[eqn.invars[0]]
+            except TypeError:
+                pass  # Literal operands are unhashable / unnamed
+        elif prim == "conv_general_dilated":
+            lhsv, rhsv = eqn.invars[0], eqn.invars[1]
+            dn = eqn.params["dimension_numbers"]
+            rhs_shape = rhsv.aval.shape
+            out_shape = eqn.outvars[0].aval.shape
+            spatial = [rhs_shape[i] for i in dn.rhs_spec[2:]]
+            ipg = rhs_shape[dn.rhs_spec[1]]
+            macs = int(np.prod(out_shape)) * int(np.prod(spatial)) * ipg
+            kh = spatial[0] if spatial else 1
+            kw = spatial[1] if len(spatial) > 1 else 1
+            oc = rhs_shape[dn.rhs_spec[0]]
+            label = _name(rhsv)
+            rows.append((macs, f"{label}  (conv {kh}x{kw} x{ipg}->{oc})", "conv"))
+        elif prim == "dot_general":
+            lhsv, rhsv = eqn.invars[0], eqn.invars[1]
+            (lc, rc), _ = eqn.params["dimension_numbers"]
+            lshape = lhsv.aval.shape
+            out_shape = eqn.outvars[0].aval.shape
+            k = int(np.prod([lshape[i] for i in lc])) if lc else 1
+            macs = int(np.prod(out_shape)) * k
+            # weight may sit on either side; prefer the named operand
+            label = _get(rhsv) or _get(lhsv) or "<attention/matmul>"
+            rows.append((macs, f"{label}  (dot k={k} -> {tuple(out_shape)})", "dot"))
+    rows.sort(key=lambda r: r[0], reverse=True)
+    return rows
+
+
+def per_layer_report(apply: Callable, params, input_hw: Tuple[int, int] = (256, 256),
+                     top: int = 0) -> str:
+    """Human-readable per-layer MACs table with module-path labels (the TPU
+    analogue of the reference's print_model_with_flops)."""
+    rows = per_layer_macs(apply, params, input_hw)
+    total = sum(r[0] for r in rows) or 1
     if top:
         rows = rows[:top]
     lines = [f"{'MACs':>14}  {'share':>6}  layer"]
-    for macs, desc in rows:
+    for macs, desc, _kind in rows:
         lines.append(f"{macs:14,d}  {100*macs/total:5.1f}%  {desc}")
     return "\n".join(lines)

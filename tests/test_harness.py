@@ -214,11 +214,22 @@ def test_per_layer_report():
     from ntire2022_esr_tpu import ops
 
     def net(p, x):
-        return ops.conv(p["a"], x)
+        h = ops.conv(p["blockA"]["c1"], x)
+        # a linear on the channel axis -> dot_general row with its path label
+        return jnp.einsum("nhwc,cd->nhwd", h, p["head"]["weight"])
 
-    p = {"a": {"weight": np.zeros((3, 3, 3, 8), np.float32)}}
+    p = {
+        "blockA": {"c1": {"weight": np.zeros((3, 3, 3, 8), np.float32)}},
+        "head": {"weight": np.zeros((8, 4), np.float32)},
+    }
     rep = summary.per_layer_report(net, p, (16, 16))
-    assert "conv 3x3 x3->8 @ 16x16" in rep and "100.0%" in rep
+    # module-path attribution for both convs and matmuls
+    assert "blockA.c1.weight" in rep and "conv 3x3 x3->8" in rep
+    assert "head.weight" in rep and "dot" in rep
+    # conv macs = 3*3*3*8*16*16, dot macs = 16*16*4*8
+    rows = summary.per_layer_macs(net, p, (16, 16))
+    assert rows[0][0] == 3 * 3 * 3 * 8 * 16 * 16
+    assert rows[1][0] == 16 * 16 * 4 * 8
 
 
 def test_self_ensemble_consistency(rng):

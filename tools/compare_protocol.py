@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Diff the torch-reference and TPU protocol artifacts per image.
+
+Produces the PSNR-parity table at true DIV2K shapes: for every model, the
+per-image |PSNR_tpu - PSNR_ref| and averages. The challenge claim is
++-0.01 dB on the average; per-image max delta is reported as the stricter
+bound.
+
+Usage:
+  python tools/compare_protocol.py --ref /tmp/ref_protocol.json \
+      --tpu /tmp/tpu_protocol.json [--md docs/PARITY_PROTOCOL.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", required=True)
+    ap.add_argument("--tpu", required=True)
+    ap.add_argument("--md", default=None)
+    args = ap.parse_args(argv)
+
+    ref = json.load(open(args.ref))
+    tpu = json.load(open(args.tpu))
+
+    rows = []
+    worst = (0.0, None)
+    for name in sorted(set(ref) & set(tpu)):
+        r, t = ref[name], tpu[name]
+        if r["images"] != t["images"]:
+            common = [i for i in r["images"] if i in t["images"]]
+            rp = [p for i, p in zip(r["images"], r["valid_psnr"]) if i in common]
+            tp = [p for i, p in zip(t["images"], t["valid_psnr"]) if i in common]
+        else:
+            rp, tp = r["valid_psnr"], t["valid_psnr"]
+        deltas = [abs(a - b) for a, b in zip(tp, rp)]
+        ave_delta = abs(sum(tp) / len(tp) - sum(rp) / len(rp))
+        rows.append((name, sum(rp) / len(rp), sum(tp) / len(tp), ave_delta, max(deltas),
+                     t.get("valid_ave_runtime_ms", 0.0)))
+        if max(deltas) > worst[0]:
+            worst = (max(deltas), name)
+
+    lines = [
+        "| model | ref ave PSNR | tpu ave PSNR | ave delta [dB] | max per-image delta | tpu ms/img |",
+        "|---|---|---|---|---|---|",
+    ]
+    n_pass = 0
+    for name, ra, ta, ad, md_, ms in rows:
+        ok = ad <= 0.01
+        n_pass += ok
+        lines.append(f"| {name} | {ra:.4f} | {ta:.4f} | {ad:.4f}{'' if ok else ' **FAIL**'} "
+                     f"| {md_:.4f} | {ms:.1f} |")
+    summary = (f"{n_pass}/{len(rows)} models within +-0.01 dB average; "
+               f"worst per-image delta {worst[0]:.4f} dB ({worst[1]})")
+    out = "\n".join(lines) + "\n\n" + summary + "\n"
+    print(out)
+    if args.md:
+        with open(args.md, "w") as f:
+            f.write(out)
+
+
+if __name__ == "__main__":
+    main()
