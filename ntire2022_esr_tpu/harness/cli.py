@@ -45,11 +45,20 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
                                             mode="test", mesh=mesh))
     else:
         spatial_mesh = mesh if getattr(args, "spatial", False) else None
+        spec = registry.get_spec(model_id)
+        overlap = spec.halo
+        if spatial_mesh is not None and not spec.slab_safe:
+            # H-slab sharding is exact only for translation-invariant bounded-
+            # receptive-field models (ModelSpec.slab_safe); refuse rather than
+            # silently compute wrong pixels near slab boundaries.
+            raise ValueError(
+                f"model {model_id} ({model_name}) is not slab-decomposable "
+                "(pooling-grid / global ops); use --batched --mesh N instead")
         entry = runner.run(apply, params, model_name, data_range, tile, logger, args,
-                           mode="valid", spatial_mesh=spatial_mesh)
+                           mode="valid", spatial_mesh=spatial_mesh, spatial_overlap=overlap)
         if args.include_test:
             entry.update(runner.run(apply, params, model_name, data_range, tile, logger, args,
-                                    mode="test", spatial_mesh=spatial_mesh))
+                                    mode="test", spatial_mesh=spatial_mesh, spatial_overlap=overlap))
 
     comp = summary.model_complexity(apply, params, (256, 256))
     logger.info("{:>16s} : {:<.4f} [M]".format("#Activations", comp["activations"]))

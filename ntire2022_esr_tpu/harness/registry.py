@@ -38,6 +38,16 @@ class ModelSpec:
     # input spatial size must be a multiple of this (model pads internally
     # otherwise); harness uses it for static-shape bucketing decisions
     min_multiple: int = 1
+    # H-slab spatial sharding (parallel/spatial.py) is exact only for models
+    # whose every op is translation-invariant with bounded receptive field:
+    # stride-1 convs, pointwise nonlinearities, channel splits/concats,
+    # PixelShuffle, integer-scale-factor resizes. Anything with a pooling
+    # grid, size-dependent resize (ESA's bilinear-back), global pooling
+    # (CCA/CA), window/global attention, or FFT is NOT slab-decomposable —
+    # spatial sharding must be refused for those (use dp batch / tile grid).
+    slab_safe: bool = False
+    # halo rows required for exact slab sharding (one-sided receptive field)
+    halo: int = 32
 
 
 _REGISTRY: Dict[int, ModelSpec] = {}

@@ -57,6 +57,7 @@ register(ModelSpec(
     model_id=-1, name="-1_IMDN_baseline",
     apply=functools.partial(imdn_apply, nc=64, nb=8),
     ckpt="imdn_baseline.pth", data_range=1.0,
+    slab_safe=True, halo=48,  # stride-1 convs + LReLU + split/concat only
 ))
 
 register(ModelSpec(
@@ -76,6 +77,7 @@ register(ModelSpec(
     model_id=3, name="03_FMEN",
     apply=fmen_apply,
     ckpt="team03_fmen.pth", data_range=255.0,
+    slab_safe=True, halo=48,  # stride-1 convs + LReLU + sigmoid gates only
 ))
 
 register(ModelSpec(
@@ -166,6 +168,7 @@ register(ModelSpec(
     model_id=24, name="24_MDGN",
     apply=mdgn_apply,
     ckpt="team24_mdgn.pth", data_range=255.0,
+    slab_safe=True, halo=24,  # 4 modules x 3 k3 convs + pointwise gates
 ))
 
 register(ModelSpec(
@@ -190,6 +193,7 @@ register(ModelSpec(
     model_id=39, name="39_IMDN_plus",
     apply=imdn_plus_apply,
     ckpt="team39_imdn_plus.pth", data_range=1.0,
+    slab_safe=True, halo=56,  # 8 blocks x 6 k3 convs, split/concat, SiLU
 ))
 
 register(ModelSpec(
@@ -238,6 +242,7 @@ register(ModelSpec(
     model_id=28, name="28_NASNetBN",
     apply=nasnetbn_apply,
     ckpt="team28_nasnetbn.pth", data_range=1.0,
+    slab_safe=True, halo=48,  # convs + eval-BN affine + relu6 + x4 bilinear residual
 ))
 
 register(ModelSpec(
@@ -312,4 +317,5 @@ register(ModelSpec(
     model_id=26, name="26_IMDN",
     apply=functools.partial(imdn_apply, nc=64, nb=7),
     ckpt="team26_imdn_nb7.pth", data_range=1.0,
+    slab_safe=True, halo=44,  # stride-1 convs + LReLU + split/concat only
 ))

