@@ -55,10 +55,12 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
                 f"model {model_id} ({model_name}) is not slab-decomposable "
                 "(pooling-grid / global ops); use --batched --mesh N instead")
         entry = runner.run(apply, params, model_name, data_range, tile, logger, args,
-                           mode="valid", spatial_mesh=spatial_mesh, spatial_overlap=overlap)
+                           mode="valid", spatial_mesh=spatial_mesh, spatial_overlap=overlap,
+                           max_tiles_per_call=spec.max_tiles_per_call)
         if args.include_test:
             entry.update(runner.run(apply, params, model_name, data_range, tile, logger, args,
-                                    mode="test", spatial_mesh=spatial_mesh, spatial_overlap=overlap))
+                                    mode="test", spatial_mesh=spatial_mesh, spatial_overlap=overlap,
+                                    max_tiles_per_call=spec.max_tiles_per_call))
 
     comp = summary.model_complexity(apply, params, (256, 256))
     logger.info("{:>16s} : {:<.4f} [M]".format("#Activations", comp["activations"]))

@@ -28,6 +28,9 @@ class ModelSpec:
     ckpt: str                       # torch checkpoint filename in the zoo dir
     data_range: float = 1.0
     tile: Optional[int] = None      # overlap-tile size (None = whole image)
+    # tile-batch cap for the tiled path: NLFFC's x4-upscale-first design
+    # multiplies per-tile activation memory 16x, so its chunks must be tiny
+    max_tiles_per_call: int = 16
     unwrap: Optional[str] = "auto"
     linear_keys: Sequence[str] = ()
     conv_transpose_keys: Sequence[str] = ()

@@ -57,6 +57,7 @@ def run(
     pairs: Optional[List[Tuple[str, str]]] = None,
     spatial_mesh=None,
     spatial_overlap: int = 32,
+    max_tiles_per_call: int = 16,
 ) -> Dict:
     sf = 4
     border = sf
@@ -70,7 +71,8 @@ def run(
     img_util.mkdir(save_path)
 
     device_params = jax.device_put(params)
-    jitted = jax.jit(lambda p, x: tiling.forward(apply, p, x, tile))
+    jitted = jax.jit(lambda p, x: tiling.forward(
+        apply, p, x, tile, max_tiles_per_call=max_tiles_per_call))
 
     # Optional H-slab spatial sharding over a device mesh (exact for
     # local-conv models when `spatial_overlap` covers the receptive field;

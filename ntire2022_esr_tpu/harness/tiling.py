@@ -98,8 +98,10 @@ def forward(
     tile: Optional[int] = None,
     tile_overlap: int = 32,
     scale: int = 4,
+    max_tiles_per_call: int = 16,
 ) -> jax.Array:
     """Whole-image or tiled forward — the reference `forward` contract."""
     if tile is None:
         return apply(params, x)
-    return tiled_apply(apply, params, x, tile, tile_overlap, scale)
+    return tiled_apply(apply, params, x, tile, tile_overlap, scale,
+                       max_tiles_per_call=max_tiles_per_call)

@@ -71,6 +71,9 @@ register(ModelSpec(
     apply=nlffc_apply,
     ckpt="team02_nlffc.pth", data_range=255.0,
     tile=256,  # the only tiled model (test_demo.py:337)
+    # NLFFC upscales x4 FIRST (NLFFC.py:45): a 256^2 tile becomes 1024^2
+    # through 9 FFC blocks; >2 tiles per call exhausts compile-time memory
+    max_tiles_per_call=2,
 ))
 
 register(ModelSpec(

@@ -75,6 +75,31 @@ def _conv3x3_from_ref(src_ref, w_refs, b_ref, acc_ref, th: int, tw: int,
     return jax.lax.fori_loop(0, 3, body, init)
 
 
+def _conv3x3_packed_from_ref(src_ref, wcat_ref, b_ref, im2col_ref, th: int,
+                             tw: int, cin: int, compute_dtype, precision):
+    """dx-packed variant: per dy, the three dx-shifted views are copied into
+    an im2col scratch (th, tw, 3*cin) and contracted in ONE MXU dot with
+    K = 3*cin (>= 128 lanes at zoo widths, vs 9 dots of K = cin <= 64).
+    ``wcat_ref`` is (3, 3*cin, cout): dx-major concatenated taps per dy.
+    """
+    cout = wcat_ref.shape[-1]
+
+    def body(dy, acc):
+        row = src_ref[pl.ds(dy, th)]
+        for dx in range(3):
+            im2col_ref[0:th, 0:tw, dx * cin:(dx + 1) * cin] = row[:, dx:dx + tw, :cin]
+        a = im2col_ref[0:th, 0:tw, 0:3 * cin]
+        return acc + jax.lax.dot_general(
+            a.astype(compute_dtype), wcat_ref[dy].astype(compute_dtype),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    init = jnp.broadcast_to(b_ref[:].astype(jnp.float32), (th, tw, cout))
+    return jax.lax.fori_loop(0, 3, body, init)
+
+
 def _border_mask(out, row0, col0, h: int, w: int):
     """Zero positions whose global coords fall outside [0,h) x [0,w)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) + row0
@@ -85,8 +110,14 @@ def _border_mask(out, row0, col0, h: int, w: int):
 
 def _chain_kernel(x_ref, *refs, th: int, tw: int, depth: int, h: int, w: int,
                   slope: float, residual: bool, compute_dtype, out_dtype,
-                  precision):
-    *wb_refs, out_ref, ping, pong, inbuf, accbuf = refs
+                  precision, pack_dx: bool = False):
+    if pack_dx:
+        *wb_refs, out_ref, ping, pong, inbuf, accbuf, im2col = refs
+        refs_per_conv = 2  # concatenated tap weights + bias
+    else:
+        *wb_refs, out_ref, ping, pong, inbuf, accbuf = refs
+        im2col = None
+        refs_per_conv = 4  # 3 dy-stacked tap weights + bias
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
@@ -95,7 +126,7 @@ def _chain_kernel(x_ref, *refs, th: int, tw: int, depth: int, h: int, w: int,
     # global coords of the current stage's [0,0] in the unpadded image
     row0 = ti * th - depth
     col0 = tj * tw - depth
-    n_convs = len(wb_refs) // 4  # 3 dy-stacked tap weights + 1 bias per conv
+    n_convs = len(wb_refs) // refs_per_conv
     scratches = [ping, pong]
     # Copy the input block into rank-3 scratch once: Mosaic rejects partial
     # reads of rank-4 VMEM refs whose lane dim is not 128-aligned, but
@@ -109,8 +140,14 @@ def _chain_kernel(x_ref, *refs, th: int, tw: int, depth: int, h: int, w: int,
         cur_tw -= 2
         row0 += 1
         col0 += 1
-        cur = _conv3x3_from_ref(src, wb_refs[4 * k:4 * k + 3], wb_refs[4 * k + 3],
-                                accbuf, cur_th, cur_tw, compute_dtype, precision)
+        if pack_dx:
+            cin_k = wb_refs[2 * k].shape[-2] // 3
+            cur = _conv3x3_packed_from_ref(src, wb_refs[2 * k], wb_refs[2 * k + 1],
+                                           im2col, cur_th, cur_tw, cin_k,
+                                           compute_dtype, precision)
+        else:
+            cur = _conv3x3_from_ref(src, wb_refs[4 * k:4 * k + 3], wb_refs[4 * k + 3],
+                                    accbuf, cur_th, cur_tw, compute_dtype, precision)
         cur = jnp.where(cur >= 0, cur, cur * slope)
         if k < n_convs - 1:
             cur = _border_mask(cur, row0, col0, h, w)
@@ -131,10 +168,15 @@ def fused_conv3x3_chain(
     slope: float = 0.05,
     residual: bool = True,
     tile: Tuple[int, int] = (32, 32),
+    pack_dx: bool = False,
 ) -> jax.Array:
     """Chain of same-resolution 3x3 convs with LeakyReLU after each, then
     optionally + x (the RLFB body). All channel counts must match for the
     residual; semantics == repeated ops.conv2d(padding=1) + leaky_relu.
+
+    ``pack_dx=True`` contracts the three dx taps in one MXU dot per dy via
+    an im2col scratch: K = 3*cin (>= 128 lanes at zoo widths) instead of
+    nine K = cin dots — the ">=128-lane repacked" variant.
     """
     nm = config.numerics()
     n, h, w, cin = x.shape
@@ -158,16 +200,21 @@ def fused_conv3x3_chain(
     wb_args = []
     for wk, bk in zip(weights, biases):
         wk = jnp.asarray(wk)
-        for dx in range(3):
+        if pack_dx:
+            # (3, 3*cin, cout): dx-major tap concat matching the im2col layout
             wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-            wb_args.append(wk[:, dx])  # (3, cin, cout), indexed by dy in-kernel
+            wb_args.append(jnp.concatenate([wk[:, 0], wk[:, 1], wk[:, 2]], axis=1))
+        else:
+            for dx in range(3):
+                wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+                wb_args.append(wk[:, dx])  # (3, cin, cout), indexed by dy in-kernel
         wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         wb_args.append(jnp.asarray(bk if bk is not None else jnp.zeros((wk.shape[-1],), x.dtype)))
 
     kernel = functools.partial(
         _chain_kernel, th=th, tw=tw, depth=depth, h=h, w=w, slope=slope,
         residual=residual, compute_dtype=nm.compute_dtype, out_dtype=x.dtype,
-        precision=nm.conv_precision,
+        precision=nm.conv_precision, pack_dx=pack_dx,
     )
 
     # overlapping halo windows via elementwise block indexing
@@ -191,6 +238,6 @@ def fused_conv3x3_chain(
             pltpu.VMEM((win_h, win_w, c_max), scratch_dtype),
             pltpu.VMEM((win_h, win_w, cin), x.dtype),
             pltpu.VMEM((win_h, win_w, c_max), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((win_h, win_w, 3 * c_max), scratch_dtype)] if pack_dx else []),
     )(xp, *wb_args)
     return out[:, :h, :w, :]

@@ -41,6 +41,27 @@ def test_fused_conv3x3_chain(rng, interpret_pallas, n_convs, residual, shape, ti
     ref = _ref_chain(x, ws, bs, 0.05, residual)
     out = fused_conv3x3_chain(x, ws, bs, slope=0.05, residual=residual, tile=tile)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    # >=128-lane dx-packed variant must match too
+    packed = fused_conv3x3_chain(x, ws, bs, slope=0.05, residual=residual,
+                                 tile=tile, pack_dx=True)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,cin,cout,tile", [
+    ((1, 40, 52, 16), 16, 3, (32, 32)),
+    ((2, 33, 47, 12), 12, 3, (16, 32)),
+])
+def test_fused_conv_pixelshuffle_tail(rng, interpret_pallas, shape, cin, cout, tile):
+    """Fused tail == ops.conv2d(padding=1) + ops.pixel_shuffle(4)."""
+    from ntire2022_esr_tpu.ops.pallas import fused_conv3x3_pixelshuffle
+
+    r = 4
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.randn(3, 3, cin, cout * r * r).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(cout * r * r).astype(np.float32) * 0.1)
+    ref = ops.pixel_shuffle(ops.conv2d(x, w, b), r)
+    out = fused_conv3x3_pixelshuffle(x, w, b, r=r, tile=tile)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
 def test_fused_chain_mixed_channels(rng, interpret_pallas):

@@ -65,7 +65,8 @@ def main(argv=None):
         t0 = time.time()
         try:
             res = runner.run(apply, params, name, data_range, tile, logger, ns,
-                             mode="valid", pairs=pairs)
+                             mode="valid", pairs=pairs,
+                             max_tiles_per_call=registry.get_spec(model_id).max_tiles_per_call)
         except Exception as e:
             print(f"[{model_id}] {name} FAILED: {e}", file=sys.stderr)
             continue

@@ -31,7 +31,7 @@ def main(argv=None):
     ids = [int(a) for a in (argv or sys.argv[1:])] or registry.available_ids()
     gdir = os.path.join(REPO, "tests", "goldens")
 
-    print(f"{'model':22} {'mixed dB':>9} {'fast dB':>9}")
+    print(f"{'model':22} {'high dB':>9} {'mixed dB':>9} {'fast dB':>9}")
     for mid in ids:
         path = os.path.join(gdir, f"model_{mid:02}.npz")
         if not os.path.exists(path):
@@ -43,7 +43,7 @@ def main(argv=None):
         params = registry.load_params(spec)
 
         outs = {}
-        for mode in ("parity", "mixed", "fast"):
+        for mode in ("parity", "high", "mixed", "fast"):
             config.set_mode(mode)
             f = jax.jit(lambda p, a: spec.apply(p, a))
             y = np.asarray(f(params, x), dtype=np.float32)
@@ -53,8 +53,9 @@ def main(argv=None):
             mse = np.mean((a - b) ** 2)
             return float("inf") if mse == 0 else 20 * np.log10(255.0 / np.sqrt(mse))
 
-        print(f"{spec.name:22} {psnr(outs['parity'], outs['mixed']):9.2f} "
-              f"{psnr(outs['parity'], outs['fast']):9.2f}")
+        print(f"{spec.name:22} {psnr(outs['parity'], outs['high']):9.2f} "
+              f"{psnr(outs['parity'], outs['mixed']):9.2f} "
+              f"{psnr(outs['parity'], outs['fast']):9.2f}", flush=True)
 
 
 if __name__ == "__main__":
