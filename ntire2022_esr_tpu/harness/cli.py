@@ -62,6 +62,13 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
                                     mode="test", spatial_mesh=spatial_mesh, spatial_overlap=overlap,
                                     max_tiles_per_call=spec.max_tiles_per_call))
 
+    # runtime memory_stats are unavailable on some backends (axon tunnel):
+    # fall back to the compiled executable's static memory analysis at the
+    # challenge shape so the Mem column is never silently zero
+    for key in ("valid_memory", "test_memory"):
+        if entry.get(key) == 0.0:
+            entry[key] = summary.compiled_memory_mb(apply, params, (256, 256))
+
     comp = summary.model_complexity(apply, params, (256, 256))
     logger.info("{:>16s} : {:<.4f} [M]".format("#Activations", comp["activations"]))
     logger.info("{:>16s} : {:<d}".format("#Conv2d", comp["num_conv"]))

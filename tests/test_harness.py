@@ -159,6 +159,17 @@ def test_summary_counts_convs():
     assert c["num_parameters"] == pytest.approx((3 * 3 * 3 * 8 + 8 + 8 * 3 + 3) / 1e6)
 
 
+def test_compiled_memory_nonzero():
+    from ntire2022_esr_tpu import ops
+
+    def net(p, x):
+        return ops.conv(p["a"], x)
+
+    p = {"a": {"weight": np.zeros((3, 3, 3, 8), np.float32)}}
+    mb = summary.compiled_memory_mb(net, p, (64, 64))
+    assert mb > 0.0
+
+
 def test_device_timer_and_fence():
     import jax
     import jax.numpy as jnp
