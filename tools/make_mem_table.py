@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Per-model device-memory table at the challenge shape (on-chip).
+
+The challenge's Mem column is ``torch.cuda.max_memory_allocated`` during
+val (reference test_demo.py:467-475, README.md:20). The tunnelled TPU
+device exposes no runtime memory_stats, so the honest equivalent is XLA's
+memory_analysis of the compiled forward at the scoring shape
+(harness/summary.compiled_memory_mb): temp + argument + output buffers the
+chip must hold to run one 256x256 val forward.
+
+Writes/updates a JSON artifact and prints a markdown table for
+docs/RUNTIME_TPU.md. Resumable per model (merges into --out).
+
+Usage: python tools/make_mem_table.py [--out FILE.json] [ids...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ids", nargs="*", type=int)
+    ap.add_argument("--out", default="/tmp/mem_table.json")
+    ap.add_argument("--size", type=int, default=256)
+    args = ap.parse_args(argv)
+
+    from ntire2022_esr_tpu.harness import registry, summary
+
+    results = {}
+    if os.path.exists(args.out):
+        results = json.load(open(args.out))
+
+    ids = args.ids or registry.available_ids()
+    for mid in ids:
+        apply, params, name, dr, tile = registry.build_model(mid)
+        if name in results:
+            continue
+        mb = summary.compiled_memory_mb(apply, params, (args.size, args.size))
+        results[name] = {"model_id": mid, "mem_mb": mb}
+        json.dump(results, open(args.out, "w"), indent=1)
+        print(f"| {name} | {mb:.1f} |", flush=True)
+
+    print()
+    print("| model | Mem [MB] (XLA, 256x256) |")
+    print("|---|---|")
+    for name in sorted(results, key=lambda n: results[n]["model_id"]):
+        print(f"| {name} | {results[name]['mem_mb']:.1f} |")
+
+
+if __name__ == "__main__":
+    main()
