@@ -171,3 +171,41 @@ def test_nearest_integer_upsample(rng):
     ref = F.interpolate(x, scale_factor=2, mode="nearest")
     out = ops.interpolate(t2j(x), scale_factor=2, mode="nearest")
     np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-6)
+
+
+@pytest.mark.parametrize("h", [16, 17, 64, 256])
+def test_spectral_dft_matmul_matches_fft(rng, h):
+    """rfft_h/irfft_h are DFT matmuls (no XLA fft custom call — it
+    miscompiles on the axon TPU backend when fused with other chains, see
+    ops/spectral.py); they must match numpy's pocketfft bit-close."""
+    from ntire2022_esr_tpu.ops.spectral import irfft_h, rfft_h
+
+    x = rng.randn(2, h, 7, 5).astype(np.float32)
+    re, im = rfft_h(x)
+    ref = np.fft.rfft(x.astype(np.float64), axis=1, norm="ortho")
+    np.testing.assert_allclose(np.asarray(re), ref.real, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, rtol=1e-4, atol=1e-5)
+    rt = irfft_h(re, im, h)
+    np.testing.assert_allclose(np.asarray(rt), x, rtol=1e-4, atol=1e-5)
+
+
+def test_spectral_tx_matches_torch(rng):
+    """Full SpectralTx vs the reference's torch graph (basicblock.py:9-32)."""
+    from ntire2022_esr_tpu.ops.spectral import spectral_tx
+
+    c = 4
+    x = torch.from_numpy(rng.randn(1, c, 12, 9).astype(np.float32))
+    w = torch.from_numpy(rng.randn(2 * c, 2 * c, 1, 1).astype(np.float32) * 0.3)
+    b = torch.from_numpy(rng.randn(2 * c).astype(np.float32) * 0.1)
+
+    ff = torch.view_as_real(torch.fft.rfft(x, dim=2, norm="ortho"))
+    ff = ff.permute(0, 1, 4, 2, 3).contiguous().view((1, -1) + ff.shape[2:4])
+    ff = torch.nn.functional.leaky_relu(
+        torch.nn.functional.conv2d(ff, w, b), negative_slope=0.2)
+    ff = torch.view_as_complex(
+        ff.view((1, -1, 2) + ff.shape[2:]).permute(0, 1, 3, 4, 2).contiguous())
+    ref = torch.fft.irfft(ff, dim=2, norm="ortho")
+
+    p = {"conv": {"weight": conv_w(w), "bias": b.numpy()}}
+    out = spectral_tx(p, t2j(x))
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-4, atol=1e-4)
