@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--cin", type=int, default=48)
     ap.add_argument("--mode", default="fast")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=20,
+                    help="in-graph repetitions per timed call; the tunnel's "
+                         "dispatch+fence floor is ~26 ms, so per-call timing "
+                         "of a ~5 ms kernel is meaningless without this")
     ap.add_argument("--tile", type=int, nargs=2, default=(32, 32))
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
@@ -69,15 +73,33 @@ def main(argv=None):
         return ops.pixel_shuffle(ops.conv2d(a, wt, bt), 4)
 
     tile = tuple(args.tile)
+
+    def chain_rep(op):
+        # shape-preserving op: chain serially (each iter consumes the last
+        # — no CSE, dispatch floor amortised over reps)
+        def f(a):
+            return jax.lax.fori_loop(0, args.reps, lambda i, h: op(h) * 0.5, a)
+        return f
+
+    def tail_rep(op):
+        # shape-changing op: vary the input per iter and reduce the outputs
+        # to one scalar so neither CSE nor DCE can elide iterations
+        def f(a):
+            def body(i, acc):
+                y = op(a * (1.0 + 1e-6 * i.astype(a.dtype)))
+                return acc + jnp.sum(y[0, 0, :2, :])
+            return jax.lax.fori_loop(0, args.reps, body, jnp.zeros((), a.dtype))
+        return f
+
+    chain_var = lambda **kw: (lambda a: fused_conv3x3_chain(
+        a, ws, bs, slope=0.05, residual=True, tile=tile, **kw))
+    tail_var = lambda a: fused_conv3x3_pixelshuffle(a, wt, bt, r=4, tile=tile)
     variants = {
-        "chain_xla": (jax.jit(chain_xla), (x,)),
-        "chain_pallas": (jax.jit(lambda a: fused_conv3x3_chain(
-            a, ws, bs, slope=0.05, residual=True, tile=tile)), (x,)),
-        "chain_packed": (jax.jit(lambda a: fused_conv3x3_chain(
-            a, ws, bs, slope=0.05, residual=True, tile=tile, pack_dx=True)), (x,)),
-        "tail_xla": (jax.jit(tail_xla), (x3,)),
-        "tail_pallas": (jax.jit(lambda a: fused_conv3x3_pixelshuffle(
-            a, wt, bt, r=4, tile=tile)), (x3,)),
+        "chain_xla": (chain_rep(chain_xla), (x,)),
+        "chain_pallas": (chain_rep(chain_var()), (x,)),
+        "chain_packed": (chain_rep(chain_var(pack_dx=True)), (x,)),
+        "tail_xla": (tail_rep(tail_xla), (x3,)),
+        "tail_pallas": (tail_rep(tail_var), (x3,)),
     }
 
     results = {}
@@ -86,10 +108,13 @@ def main(argv=None):
     for name, (fn, fargs) in variants.items():
         if args.only and name != args.only:
             continue
-        med, times = device_timer(fn, *fargs, iters=args.iters, warmup=2)
-        key = f"{name}@{args.mode}/b{n}s{s}c{c}/t{tile[0]}x{tile[1]}"
-        results[key] = {"median_ms": med * 1e3, "min_ms": min(times) * 1e3}
-        print(f"{key}: median {med*1e3:.3f} ms  min {min(times)*1e3:.3f} ms", flush=True)
+        med, times = device_timer(jax.jit(fn), *fargs, iters=args.iters, warmup=2)
+        key = f"{name}@{args.mode}/b{n}s{s}c{c}/t{tile[0]}x{tile[1]}/r{args.reps}"
+        results[key] = {"median_ms_per_rep": med * 1e3 / args.reps,
+                        "min_ms_per_rep": min(times) * 1e3 / args.reps,
+                        "reps": args.reps}
+        print(f"{key}: median {med*1e3/args.reps:.3f} ms/rep  "
+              f"min {min(times)*1e3/args.reps:.3f} ms/rep", flush=True)
     if args.out:
         json.dump(results, open(args.out, "w"), indent=1)
 
