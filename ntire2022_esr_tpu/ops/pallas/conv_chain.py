@@ -87,7 +87,10 @@ def _conv3x3_packed_from_ref(src_ref, wcat_ref, b_ref, im2col_ref, th: int,
     def body(dy, acc):
         row = src_ref[pl.ds(dy, th)]
         for dx in range(3):
-            im2col_ref[0:th, 0:tw, dx * cin:(dx + 1) * cin] = row[:, dx:dx + tw, :cin]
+            # cast: the scratch is compute_dtype but the first stage reads
+            # rows from the x.dtype input buffer
+            im2col_ref[0:th, 0:tw, dx * cin:(dx + 1) * cin] = (
+                row[:, dx:dx + tw, :cin].astype(im2col_ref.dtype))
         a = im2col_ref[0:th, 0:tw, 0:3 * cin]
         return acc + jax.lax.dot_general(
             a.astype(compute_dtype), wcat_ref[dy].astype(compute_dtype),
