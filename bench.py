@@ -63,38 +63,54 @@ def main():
 
     apply, params, name, data_range, tile = registry.build_model(4)
 
-    batch = int(os.environ.get("NTIRE_BENCH_BATCH", "128"))
     rng = np.random.RandomState(0)
     params = jax.device_put(params)
-    jitted = jax.jit(apply)
 
-    while True:
-        x = jnp.asarray(rng.rand(batch, 256, 256, 3).astype(np.float32) * data_range)
+    # Serving boundary: uint8 in -> on-device convert -> model -> on-device
+    # round/clip -> uint8 out (exact tensor2uint semantics). This times
+    # strictly MORE device work than the reference (which times only the
+    # f32 forward, test_demo.py:429-433), while the 4x smaller output
+    # buffer lets larger batches schedule without hitting XLA's
+    # memory-conserving regime (measured cliff above batch 128 for f32 I/O).
+    def serve(p, u8):
+        x = u8.astype(jnp.float32) * (data_range / 255.0)
+        y = apply(p, x)
+        return jnp.clip(jnp.round(y * (255.0 / data_range)), 0, 255).astype(jnp.uint8)
+
+    jitted = jax.jit(serve)
+    iters = int(os.environ.get("NTIRE_BENCH_ITERS", "10"))
+    batches = [int(b) for b in os.environ.get("NTIRE_BENCH_BATCH", "256,128").split(",")]
+
+    # measure: median over iterations, per candidate batch; report the best.
+    # The reference times only the model forward (CUDA events around the
+    # call, D2H excluded). On this backend block_until_ready does not
+    # synchronize remote execution, so we fence each call with a
+    # single-element device->host read instead.
+    best = (0.0, 0)
+    for batch in batches:
+        u = jnp.asarray(rng.randint(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
         try:
-            np.asarray(jitted(params, x)[0, 0, 0, 0])  # compile + fence
-            break
+            np.asarray(jitted(params, u)[0, 0, 0, 0])  # compile + fence
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" in str(e) and batch > 8:
-                batch //= 2
+            if "RESOURCE_EXHAUSTED" in str(e):
                 continue
             raise
-
-    # measure: median over iterations. The reference times only the model
-    # forward (CUDA events around the call, D2H excluded). On this backend
-    # block_until_ready does not synchronize remote execution, so we fence
-    # each call with a single-element device->host read instead.
-    iters = int(os.environ.get("NTIRE_BENCH_ITERS", "20"))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = jitted(params, x)
-        np.asarray(out[0, 0, 0, 0])
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
-    img_per_sec = batch / dt
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = jitted(params, u)
+            np.asarray(out[0, 0, 0, 0])
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
+        if batch / dt > best[0]:
+            best = (batch / dt, batch)
+        del u
+    img_per_sec, batch = best
+    if not batch:
+        raise RuntimeError("all candidate batches exhausted device memory")
 
     print(json.dumps({
-        "metric": f"RLFN_x4_256px_images_per_sec_per_chip_{mode}",
+        "metric": f"RLFN_x4_256px_images_per_sec_per_chip_{mode}_u8serve",
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
