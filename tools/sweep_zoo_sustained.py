@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Full-zoo sustained device throughput: in-graph repetition per model.
+
+Per-call fenced timing through the tunnelled backend carries a large fixed
+per-call overhead (measured ~26 ms for a no-op jit and up to ~120 ms for
+big executables) that a locally-attached TPU does not have — the reference
+GPU numbers (CUDA events around the forward, us-scale launch) contain no
+such artifact. This sweep times `reps` forwards inside ONE executable
+(lax.fori_loop; input varied per iteration, every output reduced into a
+carried scalar so neither CSE nor DCE can elide work) and reports wall /
+reps: the sustained per-forward device time, plus one full-output reduce
+per rep which slightly over-counts against us.
+
+Usage: python tools/sweep_zoo_sustained.py [--out FILE.json] [--mode high]
+       [--reps 10] [--iters 5] [ids...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# models whose x4-upsampled activations exceed HBM at batch 32
+SMALL_BATCH = {9: 8, 20: 8, 23: 8, 27: 8, 33: 8, 2: 1}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ids", nargs="*", type=int)
+    ap.add_argument("--out", default="/tmp/zoo_sustained.json")
+    ap.add_argument("--mode", default="high")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override the per-model batch (0 = default table)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ntire2022_esr_tpu import config
+    from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.harness.profiling import fence
+
+    config.set_mode(args.mode)
+    ids = args.ids or registry.available_ids()
+
+    results = {}
+    if os.path.exists(args.out):
+        results = json.load(open(args.out))
+
+    rng = np.random.RandomState(0)
+    for mid in ids:
+        apply, params, name, data_range, tile = registry.build_model(mid)
+        if name in results:
+            print(f"[{mid}] {name}: cached", file=sys.stderr)
+            continue
+        params = jax.device_put(params)
+
+        def looped(p, a, reps=args.reps):
+            def body(i, acc):
+                y = apply(p, a * (1.0 + 1e-6 * i.astype(a.dtype)))
+                return acc + jnp.sum(y)
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros((), a.dtype))
+
+        jitted = jax.jit(looped)
+        batch = args.batch or SMALL_BATCH.get(mid, 32)
+        med = None
+        while batch >= 1:
+            x = jnp.asarray(
+                rng.rand(batch, args.size, args.size, 3).astype(np.float32) * data_range)
+            try:
+                fence(jitted(params, x))
+                times = []
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    fence(jitted(params, x))
+                    times.append(time.perf_counter() - t0)
+                med = sorted(times)[len(times) // 2]
+                break
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" in str(e) and batch > 1:
+                    batch //= 2
+                    continue
+                print(f"[{mid}] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
+                break
+            finally:
+                del x
+        if med is None:
+            continue
+        ms_img = med * 1e3 / args.reps / batch
+        results[name] = {"model_id": mid, "batch": batch, "reps": args.reps,
+                         "mode": args.mode, "ms_per_image_sustained": ms_img}
+        json.dump(results, open(args.out, "w"), indent=1)
+        print(f"[{mid}] {name}: {ms_img:.2f} ms/img sustained (batch {batch})",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
