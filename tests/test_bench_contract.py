@@ -28,3 +28,24 @@ def test_bench_json_contract():
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in rec
     assert rec["value"] > 0 and rec["unit"] == "images/sec"
+
+
+def test_sweep_zoo_sustained_smoke(tmp_path):
+    """The sustained-throughput sweep tool runs end-to-end on CPU."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import sweep_zoo_sustained
+
+    out = str(tmp_path / "sus.json")
+    sweep_zoo_sustained.main([
+        "--out", out, "--size", "48", "--batch", "1",
+        "--reps", "2", "--iters", "1", "24",
+    ])
+    art = json.load(open(out))
+    assert "24_MDGN" in art
+    row = art["24_MDGN"]
+    assert row["batch"] == 1 and row["reps"] == 2
+    assert row["ms_per_image_sustained"] > 0
