@@ -37,12 +37,28 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
 
         mesh = make_mesh(args.mesh)
 
+    def _pairs(mode):
+        # tolerate partial datasets (the reference hard-codes 100 ids and
+        # crashes on gaps); the runners stay strict on explicit pairs
+        from ntire2022_esr_tpu.harness import data as data_mod
+
+        sel = data_mod.select_dataset(args.data_dir, mode)
+        found = [(l, h) for l, h in sel if os.path.exists(l)]
+        if not found:
+            raise FileNotFoundError(
+                f"no {mode} LR images under {args.data_dir} (expected e.g. {sel[0][0]})")
+        if len(found) < len(sel):
+            logger.info(f"{mode}: {len(found)}/{len(sel)} images present")
+        return found
+
     if getattr(args, "batched", False) and tile is None:
+        u8_io = getattr(args, "u8_io", False)
         entry = runner.run_batched(apply, params, model_name, data_range, logger, args,
-                                   mode="valid", mesh=mesh)
+                                   mode="valid", mesh=mesh, u8_io=u8_io, pairs=_pairs("valid"))
         if args.include_test:
             entry.update(runner.run_batched(apply, params, model_name, data_range, logger, args,
-                                            mode="test", mesh=mesh))
+                                            mode="test", mesh=mesh, u8_io=u8_io,
+                                            pairs=_pairs("test")))
     else:
         spatial_mesh = mesh if getattr(args, "spatial", False) else None
         spec = registry.get_spec(model_id)
@@ -56,11 +72,12 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
                 "(pooling-grid / global ops); use --batched --mesh N instead")
         entry = runner.run(apply, params, model_name, data_range, tile, logger, args,
                            mode="valid", spatial_mesh=spatial_mesh, spatial_overlap=overlap,
-                           max_tiles_per_call=spec.max_tiles_per_call)
+                           max_tiles_per_call=spec.max_tiles_per_call, pairs=_pairs("valid"))
         if args.include_test:
             entry.update(runner.run(apply, params, model_name, data_range, tile, logger, args,
                                     mode="test", spatial_mesh=spatial_mesh, spatial_overlap=overlap,
-                                    max_tiles_per_call=spec.max_tiles_per_call))
+                                    max_tiles_per_call=spec.max_tiles_per_call,
+                                    pairs=_pairs("test")))
 
     # runtime memory_stats are unavailable on some backends (axon tunnel):
     # fall back to the compiled executable's static memory analysis at the
@@ -90,6 +107,9 @@ def main(argv=None):
                              "(strict-parity speed mode), mixed=bf16 MXU/f32 act, fast=bf16")
     parser.add_argument("--batched", action="store_true",
                         help="shape-bucketed batched evaluation (throughput path)")
+    parser.add_argument("--u8_io", action="store_true",
+                        help="with --batched: uint8 device boundary (4x smaller "
+                             "H2D/D2H; output may differ by round-tie ulp flips)")
     parser.add_argument("--mesh", default=0, type=int, metavar="N",
                         help="shard over the first N devices (with --batched: data-parallel "
                              "batch; with --spatial: H-slab shard per image)")

@@ -167,6 +167,7 @@ def run_batched(
     mode: str = "test",
     pairs: Optional[List[Tuple[str, str]]] = None,
     mesh=None,
+    u8_io: bool = False,
 ) -> Dict:
     """Shape-bucketed batched evaluation (throughput path).
 
@@ -178,6 +179,12 @@ def run_batched(
 
     Timing is per *batch* and attributed evenly to its images, matching the
     reference's model-forward-only protocol in aggregate.
+
+    ``u8_io=True`` moves the uint8<->float boundary onto the device
+    (uint2nhwc / nhwc2uint semantics in-graph, same expressions): H2D and
+    D2H shrink 4x — the serving configuration bench.py times. Outputs can
+    differ from the host conversion by round-tie ulp flips only; keep the
+    default for strict protocol artifacts.
     """
     sf = 4
     border = sf
@@ -197,16 +204,31 @@ def run_batched(
         buckets.setdefault(lr.shape[:2], []).append((lr_path, hr_path, lr))
 
     device_params = jax.device_put(params)
+    if u8_io:
+        import jax.numpy as jnp
+
+        def apply_u8(p, u8):
+            x = u8.astype(jnp.float32) / (255.0 / data_range)
+            y = apply(p, x)
+            y = jnp.clip(y, 0, data_range) * (255.0 / data_range)
+            return jnp.round(y).astype(jnp.uint8)
+
+        device_fn = apply_u8
+    else:
+        device_fn = apply
     if mesh is not None:
         from ntire2022_esr_tpu.parallel import sharded_batch_apply
 
-        jitted = sharded_batch_apply(apply, mesh)
+        jitted = sharded_batch_apply(device_fn, mesh)
     else:
-        jitted = jax.jit(apply)
+        jitted = jax.jit(device_fn)
 
     per_image: Dict[str, Tuple[np.ndarray, str]] = {}
     for shape, items in sorted(buckets.items()):
-        batch = np.stack([img_util.uint2nhwc(lr, data_range)[0] for _, _, lr in items])
+        if u8_io:
+            batch = np.stack([lr for _, _, lr in items])
+        else:
+            batch = np.stack([img_util.uint2nhwc(lr, data_range)[0] for _, _, lr in items])
         if mesh is not None:
             nd = mesh.devices.size
             pad = (-len(items)) % nd
@@ -218,7 +240,7 @@ def run_batched(
         out = jitted(device_params, dev_batch)
         fence(out)
         elapsed_ms = (time.perf_counter() - t0) * 1000.0
-        sr = np.asarray(out, dtype=np.float32)[: len(items)]
+        sr = np.asarray(out)[: len(items)]
         for k, (lr_path, hr_path, _) in enumerate(items):
             results[f"{mode}_runtime"].append(elapsed_ms / len(items))
             per_image[hr_path] = (sr[k], lr_path)
@@ -226,7 +248,7 @@ def run_batched(
     for lr_path, hr_path in pairs:
         sr_arr, _ = per_image[hr_path]
         img_name, ext = os.path.splitext(os.path.basename(hr_path))
-        sr_u8 = img_util.nhwc2uint(sr_arr, data_range)
+        sr_u8 = sr_arr if u8_io else img_util.nhwc2uint(sr_arr, data_range)
         hr = img_util.modcrop(np.squeeze(img_util.imread_uint(hr_path, n_channels=3)), sf)
         psnr = metrics.calculate_psnr(sr_u8, hr, border=border)
         results[f"{mode}_psnr"].append(psnr)

@@ -294,3 +294,32 @@ def test_self_ensemble_consistency(rng):
         # inverse really inverts
         back = np.asarray(_fwd(jnp.asarray(dev[None]), _INVERSE[mode]))[0]
         np.testing.assert_array_equal(back, img)
+
+
+def test_run_batched_u8_io(tmp_path, rng):
+    """uint8 device boundary: same PSNRs as the host-conversion path up to
+    round-tie ulp flips, uint8 SR pixels within one level."""
+    from ntire2022_esr_tpu.harness import registry
+
+    apply, params, name, data_range, tile = registry.build_model(4)
+    pairs = []
+    for i in range(2):
+        hr = rng.randint(0, 256, (128, 128, 3)).astype(np.uint8)
+        lr = hr[::4, ::4]
+        lp, hp = str(tmp_path / f"lr{i}.png"), str(tmp_path / f"hr{i}.png")
+        img_util.imsave(lr, lp)
+        img_util.imsave(hr, hp)
+        pairs.append((lp, hp))
+    logger = logging.getLogger("test_batched_u8")
+    logger.addHandler(logging.NullHandler())
+    args1 = types.SimpleNamespace(save_dir=str(tmp_path / "o1"), ssim=False)
+    res1 = runner.run_batched(apply, params, name, data_range, logger, args1,
+                              mode="valid", pairs=pairs)
+    args2 = types.SimpleNamespace(save_dir=str(tmp_path / "o2"), ssim=False)
+    res2 = runner.run_batched(apply, params, name, data_range, logger, args2,
+                              mode="valid", pairs=pairs, u8_io=True)
+    np.testing.assert_allclose(res2["valid_psnr"], res1["valid_psnr"], atol=5e-3)
+    for i in range(2):
+        a = img_util.imread_uint(str(tmp_path / f"o1/{name}/valid/hr{i}.png"))
+        b = img_util.imread_uint(str(tmp_path / f"o2/{name}/valid/hr{i}.png"))
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
