@@ -1,0 +1,135 @@
+"""Production serving pipeline: bounded-depth pipelined SR inference.
+
+The reference is a scoring harness (one image at a time, host-driven,
+test_demo.py:416-437); this module is the TPU-first deployment shape of
+the same models: a persistent server that accepts uint8 frames, batches
+them per LR shape, keeps the device queue primed with a bounded number of
+in-flight batches, and returns uint8 SR frames.
+
+Design (measured on the tunnelled v5e, docs/RUNTIME_TPU.md):
+- **uint8 device boundary** — uint2nhwc / nhwc2uint semantics run
+  in-graph (exact tensor2uint rounding); H2D and D2H shrink 4x and the
+  smaller output buffers keep XLA out of its memory-conserving schedule
+  at large batches.
+- **Bounded in-flight depth** — dispatch is async; the server keeps at
+  most ``depth`` batches in flight (holding every output live OOMs HBM at
+  production batch sizes; depth 2 already hides host dispatch latency).
+- **Shape bucketing** — one compiled executable per distinct LR shape
+  (XLA requires static shapes); frames of the same shape batch together
+  up to ``max_batch``.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntire2022_esr_tpu.harness import registry
+
+
+class SRServer:
+    """Synchronous bounded-pipeline SR server over one zoo model.
+
+    >>> srv = SRServer(model_id=4)               # doctest: +SKIP
+    >>> sr = srv.process_one(lr_u8)              # doctest: +SKIP
+    >>> for sr in srv.process_stream(frames): ...  # doctest: +SKIP
+    """
+
+    def __init__(self, model_id: int = 4, *, max_batch: int = 32, depth: int = 2,
+                 apply: Optional[Callable] = None, params=None,
+                 data_range: Optional[float] = None):
+        if apply is None:
+            apply, params, name, data_range, tile = registry.build_model(model_id)
+            if tile is not None:
+                raise ValueError(
+                    f"model {model_id} requires tiled inference; serve it via "
+                    "harness.tiling.tiled_apply, not the batch server")
+        self._params = jax.device_put(params)
+        self._dr = float(data_range)
+        self._max_batch = int(max_batch)
+        self._depth = max(1, int(depth))
+        dr = self._dr
+
+        def serve(p, u8):
+            x = u8.astype(jnp.float32) / (255.0 / dr)
+            y = apply(p, x)
+            y = jnp.clip(y, 0, dr) * (255.0 / dr)
+            return jnp.round(y).astype(jnp.uint8)
+
+        self._jitted = jax.jit(serve)
+        self._lock = threading.Lock()
+
+    def warmup(self, hw: Tuple[int, int], batch: Optional[int] = None) -> None:
+        """Pre-compile for an LR shape (first compile is seconds-minutes)."""
+        b = batch or self._max_batch
+        u = jnp.zeros((b, hw[0], hw[1], 3), jnp.uint8)
+        np.asarray(self._jitted(self._params, u)[0, 0, 0, 0])
+
+    def _submit(self, frames: List[np.ndarray]):
+        u = jnp.asarray(np.stack(frames))
+        return self._jitted(self._params, u)
+
+    def process_one(self, lr_u8: np.ndarray) -> np.ndarray:
+        """uint8 HWC in -> uint8 (4H, 4W, C) out."""
+        with self._lock:
+            out = self._submit([lr_u8])
+            return np.asarray(out)[0]
+
+    def process_stream(self, frames: Iterable[np.ndarray],
+                       batch: Optional[int] = None) -> Iterator[np.ndarray]:
+        """Stream uint8 frames through the device, preserving order.
+
+        Frames are grouped into consecutive same-shape batches (a shape
+        change flushes the open batch — order preservation is a stronger
+        contract than global bucketing). At most ``depth`` batches are in
+        flight; results are yielded as host uint8 arrays.
+        """
+        max_b = batch or self._max_batch
+        with self._lock:
+            inflight: "collections.deque" = collections.deque()
+            pending: List[np.ndarray] = []
+            pend_shape: Optional[Tuple[int, ...]] = None
+
+            def flush():
+                nonlocal pending, pend_shape
+                if pending:
+                    inflight.append((self._submit(pending), len(pending)))
+                    pending, pend_shape = [], None
+
+            def drain_one():
+                out, n = inflight.popleft()
+                arr = np.asarray(out)
+                for k in range(n):
+                    yield arr[k]
+
+            for f in frames:
+                if pend_shape is not None and (f.shape != pend_shape or len(pending) >= max_b):
+                    flush()
+                if not pending:
+                    pend_shape = f.shape
+                pending.append(f)
+                if len(pending) >= max_b:
+                    flush()
+                while len(inflight) >= self._depth:
+                    yield from drain_one()
+            flush()
+            while inflight:
+                yield from drain_one()
+
+
+def bucketed_throughput(server: SRServer, frames: List[np.ndarray],
+                        batch: Optional[int] = None) -> Dict[str, float]:
+    """Measure sustained images/sec of ``process_stream`` over ``frames``."""
+    import time
+
+    t0 = time.perf_counter()
+    n = 0
+    for _ in server.process_stream(frames, batch=batch):
+        n += 1
+    dt = time.perf_counter() - t0
+    return {"images": n, "seconds": dt, "images_per_sec": n / dt}

@@ -1,0 +1,57 @@
+"""SRServer: order preservation, shape bucketing, output parity."""
+
+import numpy as np
+import pytest
+
+from ntire2022_esr_tpu.harness.serving import SRServer, bucketed_throughput
+
+
+@pytest.fixture(scope="module")
+def server():
+    return SRServer(model_id=4, max_batch=3, depth=2)
+
+
+def _frames(rng, shapes):
+    return [rng.randint(0, 256, s + (3,), dtype=np.uint8) for s in shapes]
+
+
+def test_process_one_shape_and_parity(server, rng):
+    lr = rng.randint(0, 256, (24, 33, 3), dtype=np.uint8)
+    sr = server.process_one(lr)
+    assert sr.shape == (96, 132, 3) and sr.dtype == np.uint8
+    # parity vs the harness conversion path (round-tie ulp flips only)
+    import jax
+
+    from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.utils import image as img_util
+
+    apply, params, name, dr, tile = registry.build_model(4)
+    y = jax.jit(apply)(params, img_util.uint2nhwc(lr, dr))
+    ref = img_util.nhwc2uint(np.asarray(y, np.float32), dr)
+    assert np.abs(sr.astype(np.int16) - ref.astype(np.int16)).max() <= 1
+    assert np.mean(sr != ref) < 1e-3
+
+
+def test_stream_order_and_batching(server, rng):
+    # mixed shapes force flushes; counts > max_batch force splits
+    shapes = [(24, 33)] * 5 + [(32, 24)] * 2 + [(24, 33)] * 1
+    frames = _frames(rng, shapes)
+    outs = list(server.process_stream(frames))
+    assert len(outs) == len(frames)
+    for f, o in zip(frames, outs):
+        assert o.shape == (f.shape[0] * 4, f.shape[1] * 4, 3)
+        # each output must correspond to ITS input (order preserved):
+        # check against individually-processed reference
+        single = server.process_one(f)
+        assert np.array_equal(o, single)
+
+
+def test_tiled_model_rejected():
+    with pytest.raises(ValueError, match="tiled"):
+        SRServer(model_id=2)
+
+
+def test_throughput_helper(server, rng):
+    frames = _frames(rng, [(24, 33)] * 4)
+    stats = bucketed_throughput(server, frames)
+    assert stats["images"] == 4 and stats["images_per_sec"] > 0
