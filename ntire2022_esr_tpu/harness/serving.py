@@ -42,7 +42,7 @@ class SRServer:
 
     def __init__(self, model_id: int = 4, *, max_batch: int = 32, depth: int = 2,
                  apply: Optional[Callable] = None, params=None,
-                 data_range: Optional[float] = None):
+                 data_range: Optional[float] = None, mesh=None):
         if apply is None:
             apply, params, name, data_range, tile = registry.build_model(model_id)
             if tile is not None:
@@ -53,6 +53,7 @@ class SRServer:
         self._dr = float(data_range)
         self._max_batch = int(max_batch)
         self._depth = max(1, int(depth))
+        self._mesh = mesh
         dr = self._dr
 
         def serve(p, u8):
@@ -61,7 +62,17 @@ class SRServer:
             y = jnp.clip(y, 0, dr) * (255.0 / dr)
             return jnp.round(y).astype(jnp.uint8)
 
-        self._jitted = jax.jit(serve)
+        if mesh is not None:
+            # data-parallel over ICI: params replicated, batch sharded
+            from ntire2022_esr_tpu.parallel import sharded_batch_apply
+
+            if self._max_batch % mesh.devices.size:
+                raise ValueError(
+                    f"max_batch {self._max_batch} must be a multiple of the "
+                    f"mesh size {mesh.devices.size}")
+            self._jitted = sharded_batch_apply(serve, mesh)
+        else:
+            self._jitted = jax.jit(serve)
         self._lock = threading.Lock()
 
     def warmup(self, hw: Tuple[int, int], batch: Optional[int] = None) -> None:
@@ -71,8 +82,15 @@ class SRServer:
         np.asarray(self._jitted(self._params, u)[0, 0, 0, 0])
 
     def _submit(self, frames: List[np.ndarray]):
-        u = jnp.asarray(np.stack(frames))
-        return self._jitted(self._params, u)
+        batch = np.stack(frames)
+        if self._mesh is not None:
+            # a sharded batch must be divisible by the mesh; pad with zeros
+            # (outputs are sliced back to the real count by the caller)
+            pad = (-len(frames)) % self._mesh.devices.size
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+        return self._jitted(self._params, jnp.asarray(batch))
 
     def process_one(self, lr_u8: np.ndarray) -> np.ndarray:
         """uint8 HWC in -> uint8 (4H, 4W, C) out."""

@@ -55,3 +55,25 @@ def test_throughput_helper(server, rng):
     frames = _frames(rng, [(24, 33)] * 4)
     stats = bucketed_throughput(server, frames)
     assert stats["images"] == 4 and stats["images_per_sec"] > 0
+
+
+def test_stream_mesh_sharded(rng):
+    """dp-sharded serving on the 8-device virtual mesh, incl. a ragged
+    flush (5 frames -> zero-padded to 8 shards) and parity vs unsharded."""
+    from ntire2022_esr_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    srv = SRServer(model_id=4, max_batch=8, depth=2, mesh=mesh)
+    plain = SRServer(model_id=4, max_batch=8, depth=1)
+    frames = _frames(rng, [(24, 33)] * 5)
+    outs = list(srv.process_stream(frames))
+    assert len(outs) == 5
+    for f, o in zip(frames, outs):
+        assert np.array_equal(o, plain.process_one(f))
+
+
+def test_mesh_batch_divisibility():
+    from ntire2022_esr_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        SRServer(model_id=4, max_batch=6, mesh=make_mesh(8))
