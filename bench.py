@@ -104,7 +104,7 @@ def main():
         dt = sorted(times)[len(times) // 2]
         if batch / dt > best[0]:
             best = (batch / dt, batch)
-        del u
+        del u, out  # free this candidate's HBM before the next compiles
     img_per_sec, batch = best
     if not batch:
         raise RuntimeError("all candidate batches exhausted device memory")

@@ -32,6 +32,15 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
         model_name = model_name + "_x8"
 
     mesh = None
+    if getattr(args, "spatial", False):
+        # refuse silently-unsharded configurations: --spatial needs a mesh
+        # and is a sequential-path feature
+        if not getattr(args, "mesh", 0):
+            raise ValueError("--spatial requires --mesh N")
+        if getattr(args, "batched", False):
+            raise ValueError("--spatial and --batched are mutually exclusive "
+                             "(spatial shards one image's H axis; batched "
+                             "shards the image batch)")
     if getattr(args, "mesh", 0):
         from ntire2022_esr_tpu.parallel import make_mesh
 
@@ -43,7 +52,8 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
         from ntire2022_esr_tpu.harness import data as data_mod
 
         sel = data_mod.select_dataset(args.data_dir, mode)
-        found = [(l, h) for l, h in sel if os.path.exists(l)]
+        found = [(l, h) for l, h in sel
+                 if os.path.exists(l) and os.path.exists(h)]
         if not found:
             raise FileNotFoundError(
                 f"no {mode} LR images under {args.data_dir} (expected e.g. {sel[0][0]})")
@@ -82,9 +92,14 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
     # runtime memory_stats are unavailable on some backends (axon tunnel):
     # fall back to the compiled executable's static memory analysis at the
     # challenge shape so the Mem column is never silently zero
-    for key in ("valid_memory", "test_memory"):
-        if entry.get(key) == 0.0:
-            entry[key] = summary.compiled_memory_mb(apply, params, (256, 256))
+    if any(entry.get(key) == 0.0 for key in ("valid_memory", "test_memory")):
+        mem = summary.compiled_memory_mb(apply, params, (256, 256))
+        if mem == 0.0:
+            logger.info("Mem column unavailable: runtime memory_stats absent "
+                        "and static memory analysis failed")
+        for key in ("valid_memory", "test_memory"):
+            if entry.get(key) == 0.0:
+                entry[key] = mem
 
     comp = summary.model_complexity(apply, params, (256, 256))
     logger.info("{:>16s} : {:<.4f} [M]".format("#Activations", comp["activations"]))

@@ -49,6 +49,8 @@ class SRServer:
                 raise ValueError(
                     f"model {model_id} requires tiled inference; serve it via "
                     "harness.tiling.tiled_apply, not the batch server")
+        elif data_range is None:
+            raise ValueError("data_range is required with a user-supplied apply")
         self._params = jax.device_put(params)
         self._dr = float(data_range)
         self._max_batch = int(max_batch)
@@ -90,13 +92,14 @@ class SRServer:
             if pad:
                 batch = np.concatenate(
                     [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
-        return self._jitted(self._params, jnp.asarray(batch))
+        # the lock serialises dispatch only — it must never be held across a
+        # yield (a suspended generator would deadlock every other caller)
+        with self._lock:
+            return self._jitted(self._params, jnp.asarray(batch))
 
     def process_one(self, lr_u8: np.ndarray) -> np.ndarray:
         """uint8 HWC in -> uint8 (4H, 4W, C) out."""
-        with self._lock:
-            out = self._submit([lr_u8])
-            return np.asarray(out)[0]
+        return np.asarray(self._submit([lr_u8]))[0]
 
     def process_stream(self, frames: Iterable[np.ndarray],
                        batch: Optional[int] = None) -> Iterator[np.ndarray]:
@@ -105,39 +108,40 @@ class SRServer:
         Frames are grouped into consecutive same-shape batches (a shape
         change flushes the open batch — order preservation is a stronger
         contract than global bucketing). At most ``depth`` batches are in
-        flight; results are yielded as host uint8 arrays.
+        flight; results are yielded as host uint8 arrays. Safe to interleave
+        with other calls on the same server (dispatch is locked per batch;
+        nothing is held across yields).
         """
         max_b = batch or self._max_batch
-        with self._lock:
-            inflight: "collections.deque" = collections.deque()
-            pending: List[np.ndarray] = []
-            pend_shape: Optional[Tuple[int, ...]] = None
+        inflight: "collections.deque" = collections.deque()
+        pending: List[np.ndarray] = []
+        pend_shape: Optional[Tuple[int, ...]] = None
 
-            def flush():
-                nonlocal pending, pend_shape
-                if pending:
-                    inflight.append((self._submit(pending), len(pending)))
-                    pending, pend_shape = [], None
+        def flush():
+            nonlocal pending, pend_shape
+            if pending:
+                inflight.append((self._submit(pending), len(pending)))
+                pending, pend_shape = [], None
 
-            def drain_one():
-                out, n = inflight.popleft()
-                arr = np.asarray(out)
-                for k in range(n):
-                    yield arr[k]
+        def drain_one():
+            out, n = inflight.popleft()
+            arr = np.asarray(out)
+            for k in range(n):
+                yield arr[k]
 
-            for f in frames:
-                if pend_shape is not None and (f.shape != pend_shape or len(pending) >= max_b):
-                    flush()
-                if not pending:
-                    pend_shape = f.shape
-                pending.append(f)
-                if len(pending) >= max_b:
-                    flush()
-                while len(inflight) >= self._depth:
-                    yield from drain_one()
-            flush()
-            while inflight:
+        for f in frames:
+            if pend_shape is not None and (f.shape != pend_shape or len(pending) >= max_b):
+                flush()
+            if not pending:
+                pend_shape = f.shape
+            pending.append(f)
+            if len(pending) >= max_b:
+                flush()
+            while len(inflight) >= self._depth:
                 yield from drain_one()
+        flush()
+        while inflight:
+            yield from drain_one()
 
 
 def bucketed_throughput(server: SRServer, frames: List[np.ndarray],

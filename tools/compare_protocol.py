@@ -39,6 +39,9 @@ def main(argv=None):
             tp = [p for i, p in zip(t["images"], t["valid_psnr"]) if i in common]
         else:
             rp, tp = r["valid_psnr"], t["valid_psnr"]
+        if not rp or not tp:
+            missing.append(f"{name} (no common images between artifacts)")
+            continue
         deltas = [abs(a - b) for a, b in zip(tp, rp)]
         n_images = max(n_images, len(deltas))
         ave_delta = abs(sum(tp) / len(tp) - sum(rp) / len(rp))

@@ -173,7 +173,9 @@ def main(argv=None):
                 print(f"[{model_id}] {name} @ {h}x{w}: reference forward failed ({e}); skipped")
                 continue
             out = y.numpy()[0].transpose(1, 2, 0)  # HWC
-            suffix = "" if (h, w) == (64, 64) and not args.sizes else f"_{h}x{w}"
+            # default invocation (no --sizes) refreshes the UNsuffixed golden
+            # at whatever --size says, per the --sizes help text
+            suffix = "" if not args.sizes else f"_{h}x{w}"
             path = os.path.join(GOLDEN_DIR, f"model_{model_id:02}{suffix}.npz")
             np.savez_compressed(
                 path, input_u8=img, data_range=np.float32(data_range),

@@ -67,7 +67,9 @@ def main(argv=None):
             continue
         model = model.float().eval()
         pairs = test_demo.select_dataset(args.data_dir, "valid")
-        pairs = [(l, h) for l, h in pairs if os.path.exists(l)]
+        pairs = [(l, h) for l, h in pairs if os.path.exists(l) and os.path.exists(h)]
+        if not pairs:
+            sys.exit(f"no DIV2K valid pairs under {args.data_dir}")
         psnrs, names = [], []
         t0 = time.time()
         for lr_path, hr_path in pairs:

@@ -60,7 +60,9 @@ def main(argv=None):
             print(f"[{model_id}] {name}: cached", file=sys.stderr)
             continue
         pairs = [(l, h) for l, h in data_mod.select_dataset(args.data_dir, "valid")
-                 if os.path.exists(l)]
+                 if os.path.exists(l) and os.path.exists(h)]
+        if not pairs:
+            sys.exit(f"no DIV2K valid pairs under {args.data_dir}")
         ns = types.SimpleNamespace(save_dir=args.save_dir, ssim=False)
         t0 = time.time()
         try:
