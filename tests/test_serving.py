@@ -77,3 +77,24 @@ def test_mesh_batch_divisibility():
 
     with pytest.raises(ValueError, match="multiple of the mesh"):
         SRServer(model_id=4, max_batch=6, mesh=make_mesh(8))
+
+
+def test_stream_interleaved_calls_no_deadlock(server, rng):
+    """A partially-consumed stream must not hold the dispatch lock: other
+    calls (and a second stream) proceed, and an abandoned iterator leaves
+    the server usable."""
+    frames = _frames(rng, [(24, 33)] * 4)
+    stream = server.process_stream(frames, batch=2)
+    first = next(stream)
+    # other entry points while the stream is suspended at a yield
+    single = server.process_one(frames[0])
+    assert np.array_equal(first, single)
+    other = list(server.process_stream(_frames(rng, [(24, 33)] * 2), batch=2))
+    assert len(other) == 2
+    rest = list(stream)
+    assert len(rest) == 3
+    # abandon a fresh stream mid-way; the server must remain usable
+    s2 = server.process_stream(frames, batch=2)
+    next(s2)
+    del s2
+    assert server.process_one(frames[1]).shape == (96, 132, 3)
