@@ -73,9 +73,13 @@ def main():
     # buffer lets larger batches schedule without hitting XLA's
     # memory-conserving regime (measured cliff above batch 128 for f32 I/O).
     def serve(p, u8):
-        x = u8.astype(jnp.float32) * (data_range / 255.0)
+        # exact uint2nhwc / nhwc2uint expressions (matching utils/image.py
+        # and harness/serving.py bit-for-bit: divide-by-(255/DR) in, clamp
+        # in the data_range domain then rescale+round out)
+        x = u8.astype(jnp.float32) / (255.0 / data_range)
         y = apply(p, x)
-        return jnp.clip(jnp.round(y * (255.0 / data_range)), 0, 255).astype(jnp.uint8)
+        y = jnp.clip(y, 0, data_range) * (255.0 / data_range)
+        return jnp.round(y).astype(jnp.uint8)
 
     # Sustained timing: `reps` forwards inside one executable (input varied
     # per rep, every output fully reduced so nothing is elided). Per-call
@@ -94,7 +98,7 @@ def main():
         timed = serve
 
     jitted = jax.jit(timed)
-    iters = int(os.environ.get("NTIRE_BENCH_ITERS", "10"))
+    iters = max(1, int(os.environ.get("NTIRE_BENCH_ITERS", "10")))
     batches = [int(b) for b in os.environ.get("NTIRE_BENCH_BATCH", "256,128").split(",")]
 
     # measure: median over iterations, per candidate batch; report the best.
@@ -112,6 +116,7 @@ def main():
         try:
             _fence(jitted(params, u))  # compile + fence
         except Exception as e:
+            del u
             if "RESOURCE_EXHAUSTED" in str(e):
                 continue
             raise
@@ -129,13 +134,33 @@ def main():
     if not batch:
         raise RuntimeError("all candidate batches exhausted device memory")
 
+    # Per-call number at the winning batch (the round-1 metric): one plain
+    # dispatch per timing, fenced — includes the tunnel's fixed per-call
+    # dispatch cost, so it is a lower bound a locally-attached chip beats.
+    # Reported alongside so BENCH_rN stays longitudinally comparable.
+    per_call = None
+    if reps > 1:
+        pc = jax.jit(serve)
+        u = jnp.asarray(rng.randint(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
+        np.asarray(pc(params, u)[0, 0, 0, 0])  # compile + fence
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            np.asarray(pc(params, u)[0, 0, 0, 0])
+            times.append(time.perf_counter() - t0)
+        per_call = batch / sorted(times)[len(times) // 2]
+
     suffix = "_sustained" if reps > 1 else ""
-    print(json.dumps({
+    rec = {
         "metric": f"RLFN_x4_256px_images_per_sec_per_chip_{mode}_u8serve{suffix}",
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
-    }))
+    }
+    if per_call is not None:
+        rec["per_call_images_per_sec"] = round(per_call, 2)
+        rec["per_call_vs_baseline"] = round(per_call / BASELINE_IMG_PER_SEC, 3)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

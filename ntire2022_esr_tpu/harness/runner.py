@@ -76,25 +76,32 @@ def run(
 
     # Optional H-slab spatial sharding over a device mesh (exact for
     # local-conv models when `spatial_overlap` covers the receptive field;
-    # see parallel/spatial.py). Images whose H is not divisible by the mesh
-    # fall back to the single-device forward.
+    # see parallel/spatial.py — arbitrary H handled by the windowed
+    # scheme). Images too small to shard fall back to the single-device
+    # forward with a logged decision (once per shape).
     spatial_fn = None
-    n_dev = 1
     if spatial_mesh is not None and tile is None:
         from ntire2022_esr_tpu.parallel.spatial import make_spatial_apply
 
         spatial_fn = make_spatial_apply(apply, spatial_mesh, overlap=spatial_overlap)
-        n_dev = spatial_mesh.devices.size
+    _spatial_warned = set()
 
     def forward(x):
-        if (spatial_fn is not None and x.shape[1] % n_dev == 0
-                and spatial_overlap <= x.shape[1] // n_dev):
-            return spatial_fn(device_params, x)
+        if spatial_fn is not None:
+            try:
+                return spatial_fn(device_params, x)
+            except ValueError as exc:
+                if x.shape not in _spatial_warned:
+                    _spatial_warned.add(x.shape)
+                    logger.info(
+                        f"spatial sharding unavailable for shape {x.shape} "
+                        f"({exc}); using single-device forward")
         return jitted(device_params, x)
 
     q: Queue = Queue(maxsize=2)
     t = threading.Thread(target=_prefetch, args=(pairs, data_range, q), daemon=True)
     t.start()
+    warmed_shapes: set = set()
 
     while True:
         item = q.get()
@@ -106,10 +113,15 @@ def run(
         img_name, ext = os.path.splitext(os.path.basename(hr_path))
 
         # compile outside the timed region (the reference times a warm CUDA
-        # graph; first-call XLA compilation is not model runtime). The fence
-        # is a D2H read: block_until_ready does not synchronize tunnelled
+        # graph; first-call XLA compilation is not model runtime), but only
+        # on the FIRST sighting of each input shape — the jit cache makes
+        # later same-shape calls warm already, and re-warming per image
+        # would double the device work of the whole protocol. The fence is
+        # a D2H read: block_until_ready does not synchronize tunnelled
         # backends, so timing with it would measure dispatch, not compute.
-        fence(forward(dev_x))
+        if dev_x.shape not in warmed_shapes:
+            fence(forward(dev_x))
+            warmed_shapes.add(dev_x.shape)
         t0 = time.perf_counter()
         sr = forward(dev_x)
         fence(sr)

@@ -80,6 +80,11 @@ class SRServer:
     def warmup(self, hw: Tuple[int, int], batch: Optional[int] = None) -> None:
         """Pre-compile for an LR shape (first compile is seconds-minutes)."""
         b = batch or self._max_batch
+        if self._mesh is not None and b % self._mesh.devices.size:
+            raise ValueError(
+                f"warmup batch {b} must be a multiple of the mesh size "
+                f"{self._mesh.devices.size} (sharded batches are padded to "
+                "the mesh at submit time; warm the padded size)")
         u = jnp.zeros((b, hw[0], hw[1], 3), jnp.uint8)
         np.asarray(self._jitted(self._params, u)[0, 0, 0, 0])
 

@@ -193,7 +193,13 @@ def max_pool2d(x: jax.Array, kernel: IntOr2, stride: IntOr2, padding: IntOr2 = 0
 
 
 def avg_pool2d(x: jax.Array, kernel: IntOr2, stride: Optional[IntOr2] = None,
-               padding: IntOr2 = 0) -> jax.Array:
+               padding: IntOr2 = 0, count_include_pad: bool = True) -> jax.Array:
+    """torch F.avg_pool2d on NHWC.
+
+    ``count_include_pad=True`` (the torch default) divides every window by
+    kh*kw, counting zero padding as real samples; ``False`` divides by the
+    number of valid (in-bounds) pixels per window.
+    """
     kh, kw = _pair(kernel)
     sh, sw = _pair(stride if stride is not None else kernel)
     ph, pw = _pair(padding)
@@ -203,7 +209,7 @@ def avg_pool2d(x: jax.Array, kernel: IntOr2, stride: Optional[IntOr2] = None,
         window_strides=(1, sh, sw, 1),
         padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
     )
-    if ph == 0 and pw == 0:
+    if count_include_pad or (ph == 0 and pw == 0):
         return summed / (kh * kw)
     ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
     cnt = lax.reduce_window(

@@ -74,6 +74,15 @@ def irfft_h(re, im, h: int):
 def spectral_tx(p, x, slope: float = 0.2):
     """x: (N, H, W, C) -> same shape; torch channel order [c][re|im]."""
     n, h, w, c = x.shape
+    if h % 2:
+        # The reference's irfft uses the default n=2*(hp-1), which is h-1
+        # for odd h — its round-trip CHANGES the height. Every zoo use is
+        # even-h (NLFFC upsamples x4 before any spectral op); refuse odd h
+        # rather than silently diverge from reference semantics
+        # (team02_nlffc/basicblock.py:9-32).
+        raise NotImplementedError(
+            f"spectral_tx requires even H (got {h}): the reference irfft "
+            "round-trips odd heights to h-1; no zoo model reaches this")
     re, im = rfft_h(x.astype(jnp.float32))
     hp = re.shape[1]
     stacked = jnp.stack([re, im], axis=-1).reshape(n, hp, w, 2 * c)

@@ -15,10 +15,12 @@ the tile runner's batched grid for those.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
@@ -34,8 +36,22 @@ def make_spatial_apply(
 
     The shard_map is constructed once, so repeated calls share jax.jit's
     shape-keyed compile cache (one compile per distinct image shape).
-    x: (N, H, W, C) with H divisible by the mesh axis size; returns the
-    full (N, H*scale, W*scale, C') output, H-sharded on device.
+    x: (N, H, W, C); returns the full (N, H*scale, W*scale, C') output.
+
+    Two schemes, picked per input shape:
+
+    - **halo** (H divisible by the mesh): input H-sharded, each device
+      extends its slab with ``overlap`` neighbour rows via ``ppermute``
+      (one bidirectional ICI hop) and crops them from the x4 output.
+    - **windowed** (any H, e.g. DIV2K's odd heights): input replicated
+      (LR inputs are small; the x4 activations stay sharded), each device
+      slices its own ``ceil(H/n)+2*overlap``-row window — clamped to the
+      image like the reference's last tile (test_demo.py:375-377), so
+      boundary windows end at the true edge and the model's own zero
+      padding applies there — and contributes ``ceil(H/n)`` output rows.
+
+    Both are exact wherever ``overlap`` covers the receptive field,
+    identical to overlap-tiled inference (harness/tiling.py).
     """
     n_dev = mesh.shape[axis]
 
@@ -69,16 +85,60 @@ def make_spatial_apply(
     jitted = jax.jit(sharded)
     plain = jax.jit(apply)
 
+    @functools.lru_cache(maxsize=None)
+    def _windowed(h: int):
+        # Per-device window geometry (host-side constants per image height):
+        # device i owns output rows [a[i], a[i]+s) and reads window rows
+        # [starts[i], starts[i]+wh), both clamped into the image exactly as
+        # the reference aligns its last tile to the image edge.
+        s = -(-h // n_dev)
+        wh = s + 2 * overlap
+        a = np.clip(np.arange(n_dev) * s, 0, h - s)
+        starts = np.clip(a - overlap, 0, h - wh)
+        offs = a - starts
+
+        def slab_fn(p, xr):
+            i = jax.lax.axis_index(axis)
+            start = jnp.asarray(starts)[i]
+            win = jax.lax.dynamic_slice_in_dim(xr, start, wh, axis=1)
+            out = apply(p, win)
+            off = jnp.asarray(offs)[i] * scale
+            return jax.lax.dynamic_slice_in_dim(out, off, s * scale, axis=1)
+
+        win_sharded = shard_map(
+            slab_fn, mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=P(None, axis, None, None),
+            check_rep=False,
+        )
+
+        def win_fn(params, xr):
+            y = win_sharded(params, xr)  # (N, n_dev*s*scale, W', C')
+            yb = y.reshape((y.shape[0], n_dev, s * scale) + y.shape[2:])
+            out = jnp.zeros((y.shape[0], h * scale) + y.shape[2:], y.dtype)
+            # a[] is nondecreasing with full coverage; overlapping rows are
+            # written twice with identical values (exactness contract).
+            for i in range(n_dev):
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out, yb[:, i], int(a[i]) * scale, axis=1)
+            return out
+
+        return jax.jit(win_fn)
+
     def fn(params, x):
         n, h, w, c = x.shape
         if n_dev == 1:
             return plain(params, x)
-        if h % n_dev:
-            raise ValueError(f"H={h} must be divisible by mesh axis size {n_dev}")
-        if overlap > h // n_dev:
-            raise ValueError(f"overlap {overlap} exceeds slab height {h // n_dev}")
-        xs = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
-        return jitted(params, xs)
+        if h % n_dev == 0 and overlap <= h // n_dev:
+            xs = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
+            return jitted(params, xs)
+        s = -(-h // n_dev)
+        if s + 2 * overlap > h:
+            raise ValueError(
+                f"H={h} too small to shard over {n_dev} devices with overlap "
+                f"{overlap} (window {s + 2 * overlap} rows exceeds the image)")
+        xr = jax.device_put(x, NamedSharding(mesh, P()))
+        return _windowed(h)(params, xr)
 
     return fn
 

@@ -25,3 +25,28 @@ def logger_info(logger_name: str, log_path: str = "default_logger.log") -> None:
 
 def timestamp() -> str:
     return datetime.datetime.now().strftime("%y%m%d-%H%M%S")
+
+
+class logger_print:
+    """Tee stdout writes into a log file (reference utils_logger.py:55-65).
+
+    Assign an instance to ``sys.stdout`` to mirror prints into
+    ``log_path``; ``close()`` restores nothing (the reference never does),
+    it only releases the file handle.
+    """
+
+    def __init__(self, log_path: str = "default.log"):
+        import sys
+
+        self.terminal = sys.stdout
+        self.log = open(log_path, "a")
+
+    def write(self, message: str) -> None:
+        self.terminal.write(message)
+        self.log.write(message)
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        self.log.close()

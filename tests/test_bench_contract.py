@@ -49,3 +49,44 @@ def test_sweep_zoo_sustained_smoke(tmp_path):
     row = art["24_MDGN"]
     assert row["batch"] == 1 and row["reps"] == 2
     assert row["ms_per_image_sustained"] > 0
+
+
+def test_sweep_resume_cache_keyed_on_settings(tmp_path):
+    """Re-running with different settings must REMEASURE, not reuse rows
+    measured under old settings (artifact-methodology integrity)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import sweep_zoo_sustained
+
+    out = str(tmp_path / "sus.json")
+    base = ["--out", out, "--size", "48", "--batch", "1", "--iters", "1", "24"]
+    sweep_zoo_sustained.main(base + ["--reps", "2"])
+    assert json.load(open(out))["24_MDGN"]["reps"] == 2
+    # same settings -> cached (row unchanged)
+    sweep_zoo_sustained.main(base + ["--reps", "2"])
+    assert json.load(open(out))["24_MDGN"]["reps"] == 2
+    # different reps -> remeasured under the new settings
+    sweep_zoo_sustained.main(base + ["--reps", "3"])
+    assert json.load(open(out))["24_MDGN"]["reps"] == 3
+    # different method -> remeasured and recorded
+    sweep_zoo_sustained.main(base + ["--reps", "3", "--method", "chain"])
+    assert json.load(open(out))["24_MDGN"]["method"] == "chain"
+
+
+def test_sweep_chain_method_smoke(tmp_path):
+    """chain method: small executable dispatched back-to-back, fenced once."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import sweep_zoo_sustained
+
+    out = str(tmp_path / "chain.json")
+    sweep_zoo_sustained.main([
+        "--out", out, "--size", "48", "--batch", "1",
+        "--reps", "2", "--iters", "1", "--method", "chain", "24",
+    ])
+    row = json.load(open(out))["24_MDGN"]
+    assert row["method"] == "chain" and row["ms_per_image_sustained"] > 0

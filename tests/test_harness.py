@@ -323,3 +323,52 @@ def test_run_batched_u8_io(tmp_path, rng):
         a = img_util.imread_uint(str(tmp_path / f"o1/{name}/valid/hr{i}.png"))
         b = img_util.imread_uint(str(tmp_path / f"o2/{name}/valid/hr{i}.png"))
         assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
+def test_runner_warms_once_per_shape(tmp_path, rng, monkeypatch):
+    """The warm (untimed) forward must run once per DISTINCT input shape,
+    not once per image — fence is called warm(first sighting) + timed(per
+    image), so for 4 images in 2 shapes: 2 + 4 = 6 fences."""
+    from ntire2022_esr_tpu.harness import runner as runner_mod
+
+    pairs = []
+    for i, (h, w) in enumerate([(16, 16), (16, 20), (16, 16), (16, 20)]):
+        hr = rng.randint(0, 256, (4 * h, 4 * w, 3)).astype(np.uint8)
+        lr = hr[::4, ::4]
+        lp, hp = str(tmp_path / f"lr{i}.png"), str(tmp_path / f"hr{i}.png")
+        img_util.imsave(lr, lp)
+        img_util.imsave(hr, hp)
+        pairs.append((lp, hp))
+
+    calls = []
+    real_fence = runner_mod.fence
+    monkeypatch.setattr(runner_mod, "fence", lambda x: calls.append(1) or real_fence(x))
+
+    logger = logging.getLogger("test_runner_warm")
+    logger.addHandler(logging.NullHandler())
+    args = types.SimpleNamespace(save_dir=str(tmp_path / "out"), ssim=False)
+    res = runner.run(_toy_apply, TOY_PARAMS, "toy", 1.0, None, logger, args,
+                     mode="valid", pairs=pairs)
+    assert len(res["valid_psnr"]) == 4
+    assert len(calls) == 2 + 4, len(calls)
+
+
+def test_runner_spatial_fallback_logged(tmp_path, rng, caplog):
+    """An image too small to H-shard must fall back to single-device with a
+    logged decision (not silently)."""
+    from ntire2022_esr_tpu.parallel import make_mesh
+
+    hr = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    lr = hr[::4, ::4]  # H=16 < window 16/8 + 2*32 -> fallback
+    lp, hp = str(tmp_path / "lr.png"), str(tmp_path / "hr.png")
+    img_util.imsave(lr, lp)
+    img_util.imsave(hr, hp)
+
+    logger = logging.getLogger("test_runner_spatial_fb")
+    args = types.SimpleNamespace(save_dir=str(tmp_path / "out"), ssim=False)
+    with caplog.at_level(logging.INFO, logger="test_runner_spatial_fb"):
+        res = runner.run(_toy_apply, TOY_PARAMS, "toy", 1.0, None, logger, args,
+                         mode="valid", pairs=[(lp, hp)],
+                         spatial_mesh=make_mesh(), spatial_overlap=32)
+    assert len(res["valid_psnr"]) == 1
+    assert any("spatial sharding unavailable" in r.message for r in caplog.records)

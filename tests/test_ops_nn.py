@@ -209,3 +209,33 @@ def test_spectral_tx_matches_torch(rng):
     p = {"conv": {"weight": conv_w(w), "bias": b.numpy()}}
     out = spectral_tx(p, t2j(x))
     np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("count_include_pad", [True, False])
+def test_avg_pool_padded_torch_parity(rng, count_include_pad):
+    """Padded avg_pool2d must match torch for BOTH count_include_pad modes
+    (torch defaults to True: zero padding counts as real samples)."""
+    x = torch.from_numpy(rng.randn(2, 5, 11, 13).astype(np.float32))
+    for k, s, p in [(3, 1, 1), (3, 2, 1), (5, 3, 2), (2, 2, 1)]:
+        ref = F.avg_pool2d(x, k, s, p, count_include_pad=count_include_pad)
+        out = ops.avg_pool2d(t2j(x), k, s, p, count_include_pad=count_include_pad)
+        np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_avg_pool_default_matches_torch_default(rng):
+    """No-kwarg call == torch no-kwarg call (the silent-trap fix)."""
+    x = torch.from_numpy(rng.randn(1, 4, 9, 9).astype(np.float32))
+    ref = F.avg_pool2d(x, 3, 2, 1)
+    out = ops.avg_pool2d(t2j(x), 3, 2, 1)
+    np.testing.assert_allclose(np.asarray(out), t2j(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_spectral_tx_rejects_odd_height(rng):
+    """Odd H silently diverges from the reference irfft (n=2*(hp-1)=h-1);
+    the framework refuses instead (no zoo model reaches odd H)."""
+    from ntire2022_esr_tpu.ops import spectral
+
+    x = np.asarray(rng.rand(1, 7, 4, 2).astype(np.float32))
+    w = rng.randn(1, 1, 4, 4).astype(np.float32)
+    with pytest.raises(NotImplementedError, match="even H"):
+        spectral.spectral_tx({"conv": {"weight": w}}, x)

@@ -141,3 +141,55 @@ def test_spatial_shard_conv_interior_exact(rng):
     out = np.asarray(spatial_shard_apply(net, make_mesh(), params, x, overlap=4))
     # RF/2 = 2 <= overlap 4 -> exact everywhere
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_shard_windowed_odd_h_exact(rng):
+    """H not divisible by the mesh takes the windowed scheme (replicated
+    input, per-device edge-clamped windows) and must still match the
+    unsharded forward exactly when overlap covers the receptive field."""
+    import jax
+    from ntire2022_esr_tpu import ops
+    from ntire2022_esr_tpu.parallel.spatial import make_spatial_apply
+
+    k1 = rng.randn(3, 3, 3, 8).astype(np.float32) * 0.2
+    k2 = rng.randn(3, 3, 8, 48).astype(np.float32) * 0.2
+    b1 = rng.randn(8).astype(np.float32)  # biases make zero-input rows
+    # diverge from zero *padding* — the edge-clamp correctness test
+
+    def net(p, a):
+        h = ops.leaky_relu(ops.conv2d(a, p["k1"]) + p["b1"], 0.1)
+        h = ops.conv2d(h, p["k2"])
+        return ops.pixel_shuffle(h, 4)
+
+    params = {"k1": k1, "k2": k2, "b1": b1}
+    fn = make_spatial_apply(net, make_mesh(), overlap=4)
+    for h in (67, 61, 97):  # all indivisible by 8
+        x = jnp.asarray(rng.rand(1, h, 24, 3).astype(np.float32))
+        ref = np.asarray(jax.jit(net)(params, x))
+        out = np.asarray(fn(params, x))
+        assert out.shape == ref.shape == (1, 4 * h, 96, 3)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_shard_windowed_zoo_model_odd_h(rng):
+    """A slab-safe zoo model at an odd protocol-like height."""
+    from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.parallel.spatial import make_spatial_apply
+
+    spec = registry.get_spec(24)
+    apply, params, name, data_range, tile = registry.build_model(24)
+    fn = make_spatial_apply(apply, make_mesh(), overlap=spec.halo)
+    h = 8 * 8 + 5
+    x = jnp.asarray(rng.rand(1, h, 24, 3).astype(np.float32) * data_range)
+    ref = np.asarray(jax.jit(apply)(params, x))
+    out = np.asarray(fn(params, x))
+    np.testing.assert_allclose(out, ref, atol=2e-5 * data_range, rtol=1e-5)
+
+
+def test_spatial_shard_too_small_h_raises(rng):
+    from ntire2022_esr_tpu.parallel.spatial import make_spatial_apply
+
+    fn = make_spatial_apply(_toy_apply, make_mesh(), overlap=32)
+    x = jnp.asarray(rng.rand(1, 33, 16, 3).astype(np.float32))
+    with pytest.raises(ValueError, match="too small"):
+        fn({"w": np.float32(1.0)}, x)

@@ -98,3 +98,17 @@ def test_stream_interleaved_calls_no_deadlock(server, rng):
     next(s2)
     del s2
     assert server.process_one(frames[1]).shape == (96, 132, 3)
+
+
+def test_warmup_validates_mesh_divisibility():
+    from ntire2022_esr_tpu.parallel import make_mesh
+
+    def toy(p, x):
+        import jax.numpy as jnp
+        return jnp.repeat(jnp.repeat(x, 4, axis=1), 4, axis=2) * p["w"]
+
+    srv = SRServer(apply=toy, params={"w": np.float32(1.0)}, data_range=1.0,
+                   max_batch=8, mesh=make_mesh())
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        srv.warmup((8, 8), batch=3)
+    srv.warmup((8, 8), batch=8)  # divisible: compiles cleanly

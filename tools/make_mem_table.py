@@ -41,10 +41,14 @@ def main(argv=None):
     ids = args.ids or registry.available_ids()
     for mid in ids:
         apply, params, name, dr, tile = registry.build_model(mid)
-        if name in results:
+        row = results.get(name)
+        # resume only when the cached row was measured at the same size —
+        # otherwise a re-run with different --size would silently keep rows
+        # mixing methodologies in one artifact
+        if row is not None and row.get("size", 256) == args.size:
             continue
         mb = summary.compiled_memory_mb(apply, params, (args.size, args.size))
-        results[name] = {"model_id": mid, "mem_mb": mb}
+        results[name] = {"model_id": mid, "mem_mb": mb, "size": args.size}
         json.dump(results, open(args.out, "w"), indent=1)
         print(f"| {name} | {mb:.1f} |", flush=True)
 

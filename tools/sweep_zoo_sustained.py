@@ -1,18 +1,28 @@
 #!/usr/bin/env python
-"""Full-zoo sustained device throughput: in-graph repetition per model.
+"""Full-zoo sustained device throughput.
 
 Per-call fenced timing through the tunnelled backend carries a large fixed
 per-call overhead (measured ~26 ms for a no-op jit and up to ~120 ms for
 big executables) that a locally-attached TPU does not have — the reference
 GPU numbers (CUDA events around the forward, us-scale launch) contain no
-such artifact. This sweep times `reps` forwards inside ONE executable
-(lax.fori_loop; input varied per iteration, every output reduced into a
-carried scalar so neither CSE nor DCE can elide work) and reports wall /
-reps: the sustained per-forward device time, plus one full-output reduce
-per rep which slightly over-counts against us.
+such artifact. Two ways to amortize it, selected with --method:
+
+- ``fori``: `reps` forwards inside ONE executable (lax.fori_loop; input
+  varied per iteration, every output reduced into a carried scalar so
+  neither CSE nor DCE can elide work); wall / reps is the sustained
+  per-forward time. Downside: the remote compile helper 500s on large
+  looped executables, capping several models' batch (round-2 floor).
+- ``chain``: ONE small executable (forward + full-output reduce to a
+  scalar, iteration index as a traced argument so every dispatch is real
+  work) dispatched `reps` times back-to-back asynchronously; only the last
+  scalar is fenced. The device queue pipelines the dispatches, so the
+  per-call overhead is paid once per chain, and the executable is no
+  bigger than a plain forward — no compile-helper cap. Each rep carries
+  one full-output reduce, slightly over-counting against us (same as
+  fori's in-loop reduce).
 
 Usage: python tools/sweep_zoo_sustained.py [--out FILE.json] [--mode high]
-       [--reps 10] [--iters 5] [ids...]
+       [--method chain|fori] [--reps 10] [--iters 5] [--batch N] [ids...]
 """
 
 from __future__ import annotations
@@ -37,6 +47,7 @@ def main(argv=None):
     ap.add_argument("ids", nargs="*", type=int)
     ap.add_argument("--out", default="/tmp/zoo_sustained.json")
     ap.add_argument("--mode", default="high")
+    ap.add_argument("--method", default="fori", choices=["fori", "chain"])
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--iters", type=int, default=5)
@@ -58,34 +69,70 @@ def main(argv=None):
     if os.path.exists(args.out):
         results = json.load(open(args.out))
 
+    def _cached(row):
+        # resume only when the cached row was measured under the SAME
+        # methodology — a published artifact must never silently mix
+        # modes/sizes/reps/methods across runs
+        if row is None:
+            return False
+        same = (row.get("mode") == args.mode and row.get("reps") == args.reps
+                and row.get("size", 256) == args.size
+                and row.get("method", "fori") == args.method)
+        if args.batch:
+            same = same and row.get("batch") == args.batch
+        return same
+
     rng = np.random.RandomState(0)
     for mid in ids:
         apply, params, name, data_range, tile = registry.build_model(mid)
-        if name in results:
+        if _cached(results.get(name)):
             print(f"[{mid}] {name}: cached", file=sys.stderr)
             continue
         params = jax.device_put(params)
 
-        def looped(p, a, reps=args.reps):
-            def body(i, acc):
-                y = apply(p, a * (1.0 + 1e-6 * i.astype(a.dtype)))
-                return acc + jnp.sum(y)
-            return jax.lax.fori_loop(0, reps, body, jnp.zeros((), a.dtype))
+        if args.method == "fori":
+            def looped(p, a, reps=args.reps):
+                def body(i, acc):
+                    y = apply(p, a * (1.0 + 1e-6 * i.astype(a.dtype)))
+                    return acc + jnp.sum(y)
+                return jax.lax.fori_loop(0, reps, body, jnp.zeros((), a.dtype))
 
-        jitted = jax.jit(looped)
+            jitted = jax.jit(looped)
+
+            def measure(x):
+                fence(jitted(params, x))  # compile + warm
+                times = []
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    fence(jitted(params, x))
+                    times.append(time.perf_counter() - t0)
+                return sorted(times)[len(times) // 2]
+        else:
+            def step(p, a, i):
+                y = apply(p, a * (1.0 + 1e-6 * i))
+                return jnp.sum(y)
+
+            jitted = jax.jit(step)
+
+            def measure(x):
+                fence(jitted(params, x, jnp.float32(0.0)))  # compile + warm
+                times = []
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    acc = None
+                    for r in range(args.reps):
+                        acc = jitted(params, x, jnp.float32(r))
+                    fence(acc)
+                    times.append(time.perf_counter() - t0)
+                return sorted(times)[len(times) // 2]
+
         batch = args.batch or SMALL_BATCH.get(mid, 32)
         med = None
         while batch >= 1:
             x = jnp.asarray(
                 rng.rand(batch, args.size, args.size, 3).astype(np.float32) * data_range)
             try:
-                fence(jitted(params, x))
-                times = []
-                for _ in range(args.iters):
-                    t0 = time.perf_counter()
-                    fence(jitted(params, x))
-                    times.append(time.perf_counter() - t0)
-                med = sorted(times)[len(times) // 2]
+                med = measure(x)
                 break
             except Exception as e:
                 if "RESOURCE_EXHAUSTED" in str(e) and batch > 1:
@@ -99,10 +146,12 @@ def main(argv=None):
             continue
         ms_img = med * 1e3 / args.reps / batch
         results[name] = {"model_id": mid, "batch": batch, "reps": args.reps,
-                         "mode": args.mode, "ms_per_image_sustained": ms_img}
+                         "mode": args.mode, "size": args.size,
+                         "method": args.method,
+                         "ms_per_image_sustained": ms_img}
         json.dump(results, open(args.out, "w"), indent=1)
-        print(f"[{mid}] {name}: {ms_img:.2f} ms/img sustained (batch {batch})",
-              flush=True)
+        print(f"[{mid}] {name}: {ms_img:.2f} ms/img sustained "
+              f"(batch {batch}, {args.method})", flush=True)
 
 
 if __name__ == "__main__":
