@@ -92,6 +92,28 @@ def mode() -> str:
     return _active_name
 
 
+# ---------------------------------------------------------------------------
+# Layout experiment: lower grouped convs (1 < groups < cin) as dense convs
+# with block-diagonal weights. A groups=g conv contracts only cin/g channels
+# per output — at zoo widths (e.g. 16 of 64) that underfills the MXU's
+# contraction dimension; the dense form does g x the MACs on full tiles,
+# which wins when the op is layout-bound. Output-exact (off-block weights
+# are zero). Default off; enable per measurement (NTIRE_DENSIFY_GROUPED=1
+# or set_densify_grouped). Depthwise convs (cin/g == 1) are never densified.
+# ---------------------------------------------------------------------------
+
+_densify_grouped = os.environ.get("NTIRE_DENSIFY_GROUPED", "0") == "1"
+
+
+def densify_grouped() -> bool:
+    return _densify_grouped
+
+
+def set_densify_grouped(value: bool) -> None:
+    global _densify_grouped
+    _densify_grouped = bool(value)
+
+
 @contextmanager
 def numerics_mode(mode_name: str):
     prev = mode()

@@ -35,6 +35,20 @@ def _pair(v: IntOr2) -> Tuple[int, int]:
 # Convolution
 # ---------------------------------------------------------------------------
 
+def _block_diag_dense(w: jax.Array, groups: int) -> jax.Array:
+    """Expand grouped-conv HWIO weights (kh, kw, cin/g, cout) to the exact
+    dense block-diagonal form (kh, kw, cin, cout); group ``gi`` contributes
+    only to output channels [gi*cout/g, (gi+1)*cout/g)."""
+    kh, kw, cin_g, cout = w.shape
+    cout_g = cout // groups
+    dense = jnp.zeros((kh, kw, cin_g * groups, cout), w.dtype)
+    for gi in range(groups):
+        dense = dense.at[:, :, gi * cin_g:(gi + 1) * cin_g,
+                         gi * cout_g:(gi + 1) * cout_g].set(
+            w[:, :, :, gi * cout_g:(gi + 1) * cout_g])
+    return dense
+
+
 def conv2d(
     x: jax.Array,
     w: jax.Array,
@@ -58,6 +72,11 @@ def conv2d(
     if padding is None:
         padding = (d[0] * (kh // 2), d[1] * (kw // 2))
     ph, pw = _pair(padding)
+    if groups > 1 and int(w.shape[2]) > 1 and config.densify_grouped():
+        # layout experiment (config.densify_grouped): block-diagonal dense
+        # form — exact, trades g x MACs for full MXU contraction tiles
+        w = _block_diag_dense(w, groups)
+        groups = 1
     nm = config.numerics()
     out = lax.conv_general_dilated(
         x.astype(nm.compute_dtype),

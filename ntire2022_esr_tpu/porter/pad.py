@@ -1,0 +1,84 @@
+"""Channel-padding layout transform: widen conv channels to MXU-friendly
+lane counts with zero weights, at load time.
+
+Zoo models use conv widths like 40-56 channels; the TPU MXU is 128 lanes
+wide (8x128 tiles), so a 46-wide conv leaves most of the lane dimension
+idle. Padding the channel axes to 64 (or 128) with **zero** weight
+columns/rows is output-equivalent for conv/LReLU/add/pool/resize/
+sigmoid-gate graphs — padded lanes carry exact zeros through every op, and
+gated products multiply a zero activation — while letting XLA tile the MXU
+without remainder lanes. The extra FLOPs are free if the op was
+layout-bound (the int8 probe's hypothesis, docs/RUNTIME_TPU.md).
+
+Equivalence is up to f32 reassociation, not bit-exact: changing the
+channel count changes XLA's reduction blocking, so the *real* terms of
+each contraction may sum in a different order (measured max abs ~6e-4 on
+a 255-range RLFN output — far inside the +-0.01 dB parity bar).
+
+This is a pure parameter transform: model ``apply`` functions derive every
+channel count from the weights, so no model code changes. It is only valid
+for models without channel ``split``/slicing (concat is fine only if no
+downstream op indexes absolute channel positions) — apply it per-model
+after checking the graph; RLFN (4) qualifies.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+
+def _round_up(c: int, multiple: int) -> int:
+    return -(-c // multiple) * multiple
+
+
+def pad_conv_channels(
+    params,
+    widths: Dict[int, int],
+    keep_out: Sequence[str] = (),
+    keep_in: Sequence[str] = (),
+    _path: Tuple[str, ...] = (),
+):
+    """Return a copy of ``params`` with conv channels widened by zero pads.
+
+    ``widths`` maps an original channel count to its padded size (e.g.
+    ``{46: 64, 48: 64}``); channel counts not in the map are untouched.
+    ``keep_out`` / ``keep_in`` are param-path components whose conv must
+    keep its original output / input channel count (e.g. the pixel-shuffle
+    tail conv, whose 3*r*r output channels are semantic).
+    """
+    if not isinstance(params, dict):
+        return params
+    if "weight" in params and getattr(params["weight"], "ndim", 0) == 4:
+        w = np.asarray(params["weight"])
+        kh, kw, cin, cout = w.shape
+        new_in = cin if any(k in _path for k in keep_in) else widths.get(cin, cin)
+        new_out = cout if any(k in _path for k in keep_out) else widths.get(cout, cout)
+        if (new_in, new_out) == (cin, cout):
+            return dict(params)
+        out = dict(params)
+        wp = np.zeros((kh, kw, new_in, new_out), w.dtype)
+        wp[:, :, :cin, :cout] = w
+        out["weight"] = wp
+        if out.get("bias") is not None and new_out != cout:
+            b = np.asarray(out["bias"])
+            bp = np.zeros((new_out,), b.dtype)
+            bp[:cout] = b
+            out["bias"] = bp
+        return out
+    return {k: pad_conv_channels(v, widths, keep_out, keep_in, _path + (str(k),))
+            for k, v in params.items()}
+
+
+def pad_rlfn(params, target: int = 64):
+    """RLFN (model 4) padded to ``target`` lanes: 46/48-channel convs widen;
+    the pixel-shuffle tail conv keeps its 48 = 3*4*4 output channels
+    (``upsampler``), and the 3-channel image input is untouched (3 is not
+    in the width map). ESA's 16-channel pyramid stays (it runs on strided/
+    pooled maps — cheap either way). Output-equivalent up to f32
+    reassociation: every padded lane is zero through the whole graph
+    (LReLU(0)=0; ESA gates multiply x=0).
+    """
+    widths = {46: target, 48: target}
+    return pad_conv_channels(params, widths, keep_out=("upsampler",))

@@ -1,0 +1,94 @@
+"""Layout experiment transforms must be output-exact:
+channel padding (porter/pad.py) and grouped-conv densify (ops/nn.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from ntire2022_esr_tpu import config, ops
+
+
+def test_pad_rlfn_output_exact(rng):
+    from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.porter.pad import pad_rlfn
+
+    apply, params, name, dr, tile = registry.build_model(4)
+    padded = pad_rlfn(params, target=64)
+    # every conv channel dim is now 3, 16, 48(tail) or 64
+    assert padded["fea_conv"]["weight"].shape == (3, 3, 3, 64)
+    assert padded["B1"]["c1_r"]["weight"].shape == (3, 3, 64, 64)
+    assert padded["upsampler"]["0"]["weight"].shape == (3, 3, 64, 48)
+    x = jnp.asarray(rng.rand(1, 24, 20, 3).astype(np.float32) * dr)
+    ref = np.asarray(jax.jit(apply)(params, x))
+    out = np.asarray(jax.jit(apply)(padded, x))
+    # equivalent up to f32 reassociation (XLA reduction blocking changes
+    # with channel count); must stay far inside the 0.01 dB parity bar:
+    # < 1e-2 of one uint8 level on a 255-range output
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-4)
+
+
+def test_pad_conv_channels_keep_rules():
+    from ntire2022_esr_tpu.porter.pad import pad_conv_channels
+
+    p = {"a": {"weight": np.ones((3, 3, 46, 46), np.float32),
+               "bias": np.ones((46,), np.float32)},
+         "tail": {"0": {"weight": np.ones((3, 3, 46, 48), np.float32)}}}
+    out = pad_conv_channels(p, {46: 64, 48: 64}, keep_out=("tail",))
+    assert out["a"]["weight"].shape == (3, 3, 64, 64)
+    assert out["a"]["bias"].shape == (64,)
+    assert out["a"]["bias"][46:].sum() == 0
+    assert out["tail"]["0"]["weight"].shape == (3, 3, 64, 48)
+    # original blocks preserved
+    np.testing.assert_array_equal(out["a"]["weight"][:, :, :46, :46], 1.0)
+    assert out["a"]["weight"][:, :, 46:, :].sum() == 0
+
+
+def test_densify_grouped_conv_exact(rng):
+    """Dense block-diagonal lowering == grouped conv == torch."""
+    x = torch.from_numpy(rng.randn(2, 16, 9, 11).astype(np.float32))
+    w = torch.from_numpy(rng.randn(16, 4, 3, 3).astype(np.float32))
+    ref = F.conv2d(x, w, padding=1, groups=4)
+    xj = x.numpy().transpose(0, 2, 3, 1)
+    wj = w.numpy().transpose(2, 3, 1, 0)
+    plain = ops.conv2d(xj, wj, groups=4)
+    config.set_densify_grouped(True)
+    try:
+        dense = ops.conv2d(xj, wj, groups=4)
+    finally:
+        config.set_densify_grouped(False)
+    np.testing.assert_allclose(np.asarray(plain), ref.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(plain), rtol=1e-6, atol=1e-6)
+
+
+def test_densify_skips_depthwise(rng):
+    """Depthwise (cin/g == 1) must stay depthwise under the flag."""
+    x = torch.from_numpy(rng.randn(1, 8, 6, 6).astype(np.float32))
+    w = torch.from_numpy(rng.randn(8, 1, 3, 3).astype(np.float32))
+    ref = F.conv2d(x, w, padding=1, groups=8)
+    config.set_densify_grouped(True)
+    try:
+        out = ops.conv2d(x.numpy().transpose(0, 2, 3, 1),
+                         w.numpy().transpose(2, 3, 1, 0), groups=8)
+    finally:
+        config.set_densify_grouped(False)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_densify_grouped_zoo_model_exact(rng):
+    """IMDTN (grouped convs, groups=4) end to end under the flag."""
+    from ntire2022_esr_tpu.harness import registry
+
+    apply, params, name, dr, tile = registry.build_model(9)
+    x = jnp.asarray(rng.rand(1, 18, 12, 3).astype(np.float32) * dr)
+    ref = np.asarray(jax.jit(apply)(params, x))
+    config.set_densify_grouped(True)
+    try:
+        out = np.asarray(jax.jit(apply)(params, x))
+    finally:
+        config.set_densify_grouped(False)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

@@ -135,7 +135,16 @@ def main(argv=None):
                 med = measure(x)
                 break
             except Exception as e:
-                if "RESOURCE_EXHAUSTED" in str(e) and batch > 1:
+                # Halve on HBM exhaustion AND on remote-compile failures
+                # (the tunnel's compile helper 500s on very large
+                # executables — observed even for a plain batch-128 SCET
+                # forward): both mean "this batch is too big on this
+                # backend", and the measurement must degrade gracefully to
+                # the largest batch that runs.
+                retryable = ("RESOURCE_EXHAUSTED" in str(e)
+                             or "remote_compile" in str(e)
+                             or "HTTP 500" in str(e))
+                if retryable and batch > 1:
                     batch //= 2
                     continue
                 print(f"[{mid}] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
