@@ -114,6 +114,22 @@ def set_densify_grouped(value: bool) -> None:
     _densify_grouped = bool(value)
 
 
+# Fused nearest-x2-upsample + 3x3 conv lowering (ops/fused.py): exact,
+# removes the upsampled intermediate from HBM and packs 4x output lanes.
+# Default off (reference-shaped graph); enable for serving/benchmarks.
+
+_fuse_upsample_conv = os.environ.get("NTIRE_FUSE_UPSAMPLE_CONV", "0") == "1"
+
+
+def fuse_upsample_conv() -> bool:
+    return _fuse_upsample_conv
+
+
+def set_fuse_upsample_conv(value: bool) -> None:
+    global _fuse_upsample_conv
+    _fuse_upsample_conv = bool(value)
+
+
 @contextmanager
 def numerics_mode(mode_name: str):
     prev = mode()

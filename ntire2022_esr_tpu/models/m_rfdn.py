@@ -48,10 +48,12 @@ def m_rfdn_apply(params, x, *, num_modules: int = 4):
     def pa(p, v):
         return v * ops.sigmoid(ops.conv(p["conv"], v, padding=0))
 
-    h = ops.conv(params["upconv1"], ops.interpolate(h, scale_factor=2, mode="nearest"))
+    from ntire2022_esr_tpu.ops.fused import upconv_nearest2
+
+    h = upconv_nearest2(params["upconv1"], h)
     h = ops.leaky_relu(pa(params["att1"], h), 0.2)
     h = ops.leaky_relu(ops.conv(params["HRconv1"], h), 0.2)
-    h = ops.conv(params["upconv2"], ops.interpolate(h, scale_factor=2, mode="nearest"))
+    h = upconv_nearest2(params["upconv2"], h)
     h = ops.leaky_relu(pa(params["att2"], h), 0.2)
     h = ops.leaky_relu(ops.conv(params["HRconv2"], h), 0.2)
     return ops.conv(params["conv_last"], h)

@@ -177,8 +177,10 @@ def lwfanet_apply(params, x, *, num_block: int = 10, slope: float = 0.2):
     h = feat
     for i in range(num_block):
         h = _lwfa(blocks.seq(params["body"], i), h)
+    from ntire2022_esr_tpu.ops.fused import upconv_nearest2
+
     feat = feat + ops.conv(params["conv_body"], h)
     feat = ops.conv(params["conv_L"], feat, padding=0)
-    feat = ops.leaky_relu(ops.conv(params["conv_up1"], ops.interpolate(feat, scale_factor=2, mode="nearest")), slope)
-    feat = ops.leaky_relu(ops.conv(params["conv_up2"], ops.interpolate(feat, scale_factor=2, mode="nearest")), slope)
+    feat = ops.leaky_relu(upconv_nearest2(params["conv_up1"], feat), slope)
+    feat = ops.leaky_relu(upconv_nearest2(params["conv_up2"], feat), slope)
     return ops.conv(params["conv_last"], ops.leaky_relu(ops.conv(params["conv_hr"], feat), slope))

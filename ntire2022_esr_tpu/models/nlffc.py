@@ -8,6 +8,7 @@ zoo (tile 256 / overlap 32, test_demo.py:337).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ntire2022_esr_tpu import ops
@@ -17,14 +18,18 @@ SLOPE = 0.2
 
 
 def _global_context(p, x):
-    n, h, w, c = x.shape
+    # The torch graph flattens to (n, h*w, c) for its softmaxes
+    # (team02_nlffc/basicblock.py:39-71); a joint softmax over the two
+    # spatial axes is numerically identical and keeps the 1M-pixel
+    # activations in their NHWC layout (no reshape round-trips at the
+    # x4-upsampled body resolution).
     b1 = ops.relu(ops.conv(p["conv1"], x, padding=0))
-    b1 = ops.softmax(b1.reshape(n, h * w, 1), axis=1).reshape(n, h, w, 1)
+    b1 = jax.nn.softmax(b1, axis=(1, 2))
     b2 = x * b1
     b2 = ops.leaky_relu(ops.conv(p["conv2"], b2, padding=0), SLOPE)
     b2 = ops.leaky_relu(ops.conv(p["conv3"], b2), SLOPE)
     b2 = ops.conv(p["conv4"], b2)
-    b2 = ops.softmax(b2.reshape(n, h * w, c), axis=1).reshape(n, h, w, c)
+    b2 = jax.nn.softmax(b2, axis=(1, 2))
     return b2 * x
 
 

@@ -92,3 +92,37 @@ def test_densify_grouped_zoo_model_exact(rng):
     finally:
         config.set_densify_grouped(False)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_nearest2_conv_exact_vs_torch(rng):
+    """Fused LR lowering of conv3x3(nearest_x2(x)) == torch's literal graph."""
+    from ntire2022_esr_tpu.ops.fused import nearest2_conv
+
+    x = torch.from_numpy(rng.randn(2, 7, 9, 11).astype(np.float32))
+    w = torch.from_numpy(rng.randn(13, 7, 3, 3).astype(np.float32) * 0.3)
+    b = torch.from_numpy(rng.randn(13).astype(np.float32))
+    up = F.interpolate(x, scale_factor=2, mode="nearest")
+    ref = F.conv2d(up, w, b, padding=1)
+    p = {"weight": jnp.asarray(w.numpy().transpose(2, 3, 1, 0)),
+         "bias": jnp.asarray(b.numpy())}
+    out = nearest2_conv(p, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("model_id", [33, 27])
+def test_fused_upsample_conv_zoo_parity(model_id, rng):
+    """m_RFDN / LWFANet under the fused flag match the reference-shaped
+    graph to reassociation tolerance."""
+    from ntire2022_esr_tpu.harness import registry
+
+    apply, params, name, dr, tile = registry.build_model(model_id)
+    x = jnp.asarray(rng.rand(1, 24, 20, 3).astype(np.float32) * dr)
+    ref = np.asarray(jax.jit(apply)(params, x))
+    config.set_fuse_upsample_conv(True)
+    try:
+        out = np.asarray(jax.jit(apply)(params, x))
+    finally:
+        config.set_fuse_upsample_conv(False)
+    np.testing.assert_allclose(out, ref, atol=5e-3 * max(dr / 255.0, 1e-3) * 255,
+                               rtol=1e-4)

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""On-chip A/B for the two layout levers (chain-method sustained timing):
+
+1. channel padding: RLFN (4) with 46/48-wide convs zero-padded to 64 lanes
+   (porter/pad.pad_rlfn) vs stock — the direct test of the layout-bound
+   hypothesis from the int8 probe (docs/RUNTIME_TPU.md).
+2. grouped-conv densify: IMDTN (9) / LWFANet (27) with grouped convs
+   lowered as block-diagonal dense (config.densify_grouped) vs stock.
+
+Writes rows into --out JSON. Usage:
+  python tools/bench_layout_probes.py [--out F] [--mode high] [--reps 8]
+         [--iters 3] [--batch 32] [--probe pad|dense9|dense27] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def measure_chain(apply, params, batch, size, data_range, reps, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from ntire2022_esr_tpu.harness.profiling import fence
+
+    params = jax.device_put(params)
+
+    def step(p, a, i):
+        y = apply(p, a * (1.0 + 1e-6 * i))
+        return jnp.sum(y)
+
+    jitted = jax.jit(step)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32) * data_range)
+    fence(jitted(params, x, jnp.float32(0.0)))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        acc = None
+        for r in range(reps):
+            acc = jitted(params, x, jnp.float32(r))
+        fence(acc)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2] * 1e3 / reps / batch
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/layout_probes.json")
+    ap.add_argument("--mode", default="high")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--probe", action="append", default=None,
+                    choices=["pad", "dense9", "dense27"])
+    args = ap.parse_args(argv)
+    probes = args.probe or ["pad", "dense9", "dense27"]
+
+    from ntire2022_esr_tpu import config
+    from ntire2022_esr_tpu.harness import registry
+
+    config.set_mode(args.mode)
+    results = {}
+    if os.path.exists(args.out):
+        results = json.load(open(args.out))
+
+    if "pad" in probes:
+        from ntire2022_esr_tpu.porter.pad import pad_rlfn
+
+        apply, params, name, dr, _ = registry.build_model(4)
+        stock = measure_chain(apply, params, args.batch, args.size, dr,
+                              args.reps, args.iters)
+        padded = measure_chain(apply, pad_rlfn(params, 64), args.batch,
+                               args.size, dr, args.reps, args.iters)
+        results["pad_rlfn_64"] = {"stock_ms": stock, "padded_ms": padded,
+                                  "batch": args.batch, "mode": args.mode}
+        print(f"RLFN pad-to-64: stock {stock:.3f} vs padded {padded:.3f} ms/img",
+              flush=True)
+        json.dump(results, open(args.out, "w"), indent=1)
+
+    for key, mid in (("dense9", 9), ("dense27", 27)):
+        if key not in probes:
+            continue
+        apply, params, name, dr, _ = registry.build_model(mid)
+        config.set_densify_grouped(False)
+        stock = measure_chain(apply, params, args.batch, args.size, dr,
+                              args.reps, args.iters)
+        config.set_densify_grouped(True)
+        try:
+            dense = measure_chain(apply, params, args.batch, args.size, dr,
+                                  args.reps, args.iters)
+        finally:
+            config.set_densify_grouped(False)
+        results[f"densify_{name}"] = {"stock_ms": stock, "dense_ms": dense,
+                                      "batch": args.batch, "mode": args.mode}
+        print(f"{name} densify: stock {stock:.3f} vs dense {dense:.3f} ms/img",
+              flush=True)
+        json.dump(results, open(args.out, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

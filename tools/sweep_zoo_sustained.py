@@ -145,6 +145,10 @@ def main(argv=None):
                              or "remote_compile" in str(e)
                              or "HTTP 500" in str(e))
                 if retryable and batch > 1:
+                    why = ("OOM" if "RESOURCE_EXHAUSTED" in str(e)
+                           else "compile-500")
+                    print(f"[{mid}] {name}: batch {batch} {why}; retrying "
+                          f"batch {batch // 2}", file=sys.stderr, flush=True)
                     batch //= 2
                     continue
                 print(f"[{mid}] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
