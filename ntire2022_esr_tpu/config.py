@@ -114,20 +114,28 @@ def set_densify_grouped(value: bool) -> None:
     _densify_grouped = bool(value)
 
 
-# Fused nearest-x2-upsample + 3x3 conv lowering (ops/fused.py): exact,
-# removes the upsampled intermediate from HBM and packs 4x output lanes.
-# Default off (reference-shaped graph); enable for serving/benchmarks.
+# Fused nearest-x2-upsample + 3x3 conv lowering (ops/fused.py): exact up
+# to f32 reassociation (parity-tap weights summed once, host-side), packs
+# 4x output lanes and skips the upsampled intermediate. Tri-state:
+# unset = AUTO (on in every mode except parity — parity keeps the
+# byte-stable reference-shaped graph, matching the framework's contract
+# that only parity carries the strict bit-level claim); NTIRE_FUSE_
+# UPSAMPLE_CONV=0/1 or set_fuse_upsample_conv(bool) forces it.
 
-_fuse_upsample_conv = os.environ.get("NTIRE_FUSE_UPSAMPLE_CONV", "0") == "1"
+_fuse_upsample_conv: "bool | None" = (
+    None if "NTIRE_FUSE_UPSAMPLE_CONV" not in os.environ
+    else os.environ["NTIRE_FUSE_UPSAMPLE_CONV"] == "1")
 
 
 def fuse_upsample_conv() -> bool:
+    if _fuse_upsample_conv is None:
+        return _active_name != "parity"
     return _fuse_upsample_conv
 
 
-def set_fuse_upsample_conv(value: bool) -> None:
+def set_fuse_upsample_conv(value: "bool | None") -> None:
     global _fuse_upsample_conv
-    _fuse_upsample_conv = bool(value)
+    _fuse_upsample_conv = value if value is None else bool(value)
 
 
 @contextmanager

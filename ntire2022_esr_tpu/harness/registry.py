@@ -38,6 +38,10 @@ class ModelSpec:
     drop_keys: Sequence[str] = ()
     # param-pytree transform applied after porting (reparam fold etc.)
     postprocess: Optional[Callable] = None
+    # layout transform applied at LOAD time, after the npz cache (never
+    # baked into the cached weights): e.g. block-diagonal densification of
+    # grouped convs where the dense form measures faster on the MXU
+    load_transform: Optional[Callable] = None
     # input spatial size must be a multiple of this (model pads internally
     # otherwise); harness uses it for static-shape bucketing decisions
     min_multiple: int = 1
@@ -118,4 +122,6 @@ def build_model(model_id: int, weights_dir: Optional[str] = None,
     """select_model contract: returns (apply, params, name, data_range, tile)."""
     spec = get_spec(model_id)
     params = load_params(spec, weights_dir, zoo_dir)
+    if spec.load_transform is not None:
+        params = spec.load_transform(params)
     return spec.apply, params, spec.name, spec.data_range, spec.tile

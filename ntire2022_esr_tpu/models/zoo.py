@@ -52,6 +52,14 @@ from ntire2022_esr_tpu.models.resdn import resdn_apply
 from ntire2022_esr_tpu.models.rfesr import rfesr_apply
 from ntire2022_esr_tpu.models.rlfn import rlfn_apply
 from ntire2022_esr_tpu.models.scet import scet_apply
+from ntire2022_esr_tpu.porter.pad import densify_grouped_weights
+
+
+def _densify_imdtn(params):
+    return densify_grouped_weights(
+        params, groups=4,
+        key_pred=lambda path: (len(path) >= 2 and path[-1] in ("c1", "c2", "c3")
+                               and path[-2].startswith("IMDTB")))
 
 register(ModelSpec(
     model_id=-1, name="-1_IMDN_baseline",
@@ -284,6 +292,11 @@ register(ModelSpec(
     apply=imdtn_apply,
     ckpt="team09_imdtn.pth", data_range=1.0,
     linear_keys=(r".*",),  # qkv/proj/mlp linears in the vendored SwinIR
+    # the groups=4 distillation convs run 1.21x faster in dense
+    # block-diagonal form on the MXU (cin/g=16 underfills the contraction;
+    # measured on-chip, results/protocol/layout_probes_r3.json) — densify
+    # at load, exact
+    load_transform=_densify_imdtn,
 ))
 
 register(ModelSpec(

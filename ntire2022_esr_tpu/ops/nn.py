@@ -72,9 +72,14 @@ def conv2d(
     if padding is None:
         padding = (d[0] * (kh // 2), d[1] * (kw // 2))
     ph, pw = _pair(padding)
-    if groups > 1 and int(w.shape[2]) > 1 and config.densify_grouped():
-        # layout experiment (config.densify_grouped): block-diagonal dense
-        # form — exact, trades g x MACs for full MXU contraction tiles
+    if groups > 1 and int(w.shape[2]) == int(x.shape[-1]):
+        # weights were densified at load (porter/pad.densify_grouped_weights
+        # — block-diagonal, exact): a grouped weight always has
+        # cin/g < cin, so a full-cin weight IS the dense form
+        groups = 1
+    elif groups > 1 and int(w.shape[2]) > 1 and config.densify_grouped():
+        # layout experiment (config.densify_grouped): densify per call —
+        # exact, trades g x MACs for full MXU contraction tiles
         w = _block_diag_dense(w, groups)
         groups = 1
     nm = config.numerics()

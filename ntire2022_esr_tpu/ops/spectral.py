@@ -54,8 +54,118 @@ def _dft_mats(h: int):
             back_re.astype(np.float32), back_im.astype(np.float32))
 
 
+def _split_factor(h: int):
+    """Largest divisor pair (h1, h2) with h1 <= h2, h1 closest to sqrt(h);
+    None when h has no useful factorization (h1 < 8)."""
+    best = None
+    d = int(np.sqrt(h))
+    while d >= 8:
+        if h % d == 0:
+            best = (d, h // d)
+            break
+        d -= 1
+    return best
+
+
+@functools.lru_cache(maxsize=16)
+def _four_step_mats(h: int):
+    """Constant matrices for the four-step (Cooley-Tukey) DFT over length
+    ``h = h1*h2``: stage DFTs W2 (h2) and W1-half (rows 0..h1/2 of the h1
+    DFT), the twiddle grid T[n1, f2] = exp(-2pi i f2 n1 / h), and the
+    inverse-stage conjugates. All norm='ortho' scaling folded into W1."""
+    h1, h2 = _split_factor(h)
+    n2 = np.arange(h2)
+    w2 = np.exp(-2j * np.pi * np.outer(n2, n2) / h2)            # [f2, n2]
+    n1 = np.arange(h1)
+    q = np.arange(h1 // 2 + 1)
+    w1h = np.exp(-2j * np.pi * np.outer(q, n1) / h1) / np.sqrt(h)  # [q, n1]
+    f2 = np.arange(h2)
+    tw = np.exp(-2j * np.pi * np.outer(n1, f2) / h)              # [n1, f2]
+    w1f = np.exp(-2j * np.pi * np.outer(n1, n1) / h1) / np.sqrt(h)  # full, inverse use
+    f32 = lambda a: a.astype(np.float32)
+    return (h1, h2,
+            f32(w2.real), f32(w2.imag),
+            f32(w1h.real), f32(w1h.imag),
+            f32(tw.real), f32(tw.imag),
+            f32(w1f.real), f32(w1f.imag))
+
+
+def _use_four_step(h: int) -> bool:
+    # O(h*(h1+h2)) vs the direct matmul's O(h^2): a clear win at the
+    # NLFFC tile height (1024). Parity mode keeps the single-matmul form
+    # (the protocol-validated graph); small heights are not worth the
+    # extra transposes.
+    return h >= 512 and _split_factor(h) is not None and config.mode() != "parity"
+
+
+def _rfft_h_four_step(x):
+    """rfft over axis 1 via two stage-DFT matmuls + twiddle (h = h1*h2).
+
+    Derivation (decimation in time, h_index = n1 + h1*n2):
+      Y[q*h2 + f2] = sum_{n1} W1[q,n1] * T[n1,f2] * A[f2,n1],
+      A[f2,n1]     = sum_{n2} x[n1 + h1*n2] * W2[f2,n2].
+    Only rows q <= h1/2 of W1 are computed (rfft needs f <= h/2); the
+    (h1/2+1)*h2 outputs are sliced down to h/2+1.
+    """
+    nm = config.numerics()
+    n, h, w, c = x.shape
+    h1, h2, w2r, w2i, w1r, w1i, twr, twi, _, _ = _four_step_mats(h)
+    xs = x.reshape(n, h2, h1, w, c)
+    # stage 1 over n2 (real input): A[f2, n1]
+    ar = jnp.einsum("fn,bnmwc->bfmwc", jnp.asarray(w2r), xs, precision=nm.matmul_precision)
+    ai = jnp.einsum("fn,bnmwc->bfmwc", jnp.asarray(w2i), xs, precision=nm.matmul_precision)
+    # twiddle (complex mul by T[n1, f2] — note A is [f2, n1] so transpose T)
+    twr_j = jnp.asarray(twr.T)[None, :, :, None, None]  # [1, f2, n1, 1, 1]
+    twi_j = jnp.asarray(twi.T)[None, :, :, None, None]
+    br = ar * twr_j - ai * twi_j
+    bi = ar * twi_j + ai * twr_j
+    # stage 2 over n1 (complex x complex), rows q = 0..h1/2
+    w1r_j, w1i_j = jnp.asarray(w1r), jnp.asarray(w1i)
+    yr = (jnp.einsum("qm,bfmwc->bqfwc", w1r_j, br, precision=nm.matmul_precision)
+          - jnp.einsum("qm,bfmwc->bqfwc", w1i_j, bi, precision=nm.matmul_precision))
+    yi = (jnp.einsum("qm,bfmwc->bqfwc", w1r_j, bi, precision=nm.matmul_precision)
+          + jnp.einsum("qm,bfmwc->bqfwc", w1i_j, br, precision=nm.matmul_precision))
+    hp = h // 2 + 1
+    yr = yr.reshape(n, (h1 // 2 + 1) * h2, w, c)[:, :hp]
+    yi = yi.reshape(n, (h1 // 2 + 1) * h2, w, c)[:, :hp]
+    return yr, yi
+
+
+def _irfft_h_four_step(re, im, h: int):
+    """Inverse of :func:`_rfft_h_four_step`: hermitian-extend the h/2+1
+    spectrum to h, run the conjugate four-step, keep the real part."""
+    nm = config.numerics()
+    n, hp, w, c = re.shape
+    h1, h2, w2r, w2i, _, _, twr, twi, w1fr, w1fi = _four_step_mats(h)
+    # full spectrum: Y[h-f] = conj(Y[f]) for f = 1..h/2-1
+    fr = jnp.concatenate([re, re[:, 1:h - hp + 1][:, ::-1]], axis=1)
+    fi = jnp.concatenate([im, -im[:, 1:h - hp + 1][:, ::-1]], axis=1)
+    # inverse = conjugate transform: swap the sign of every twiddle (use
+    # conj matrices) — x[t] = sum_f Y[f] e^{+2pi i f t / h} / sqrt(h).
+    # Same structure with t = n1 + h1*n2 roles swapped: decimate f.
+    fs = fr.reshape(n, h2, h1, w, c)
+    gs = fi.reshape(n, h2, h1, w, c)
+    # stage 1 over f2' (outer index of the spectrum reshape: f = f1 + h1*f2)
+    ar = (jnp.einsum("tn,bnmwc->btmwc", jnp.asarray(w2r), fs, precision=nm.matmul_precision)
+          + jnp.einsum("tn,bnmwc->btmwc", jnp.asarray(w2i), gs, precision=nm.matmul_precision))
+    ai = (jnp.einsum("tn,bnmwc->btmwc", jnp.asarray(w2r), gs, precision=nm.matmul_precision)
+          - jnp.einsum("tn,bnmwc->btmwc", jnp.asarray(w2i), fs, precision=nm.matmul_precision))
+    # twiddle conj: e^{+2pi i f1 t2 / h} with grids [f1, t2] -> transpose
+    twr_j = jnp.asarray(twr.T)[None, :, :, None, None]
+    twi_j = jnp.asarray(twi.T)[None, :, :, None, None]
+    br = ar * twr_j + ai * twi_j
+    bi = ai * twr_j - ar * twi_j
+    # stage 2 over f1, real part only
+    w1r_j, w1i_j = jnp.asarray(w1fr), jnp.asarray(w1fi)
+    out = (jnp.einsum("qm,btmwc->bqtwc", w1r_j, br, precision=nm.matmul_precision)
+           + jnp.einsum("qm,btmwc->bqtwc", w1i_j, bi, precision=nm.matmul_precision))
+    return out.reshape(n, h, w, c)
+
+
 def rfft_h(x):
     """Real FFT over the height axis of NHWC, as (re, im) float arrays."""
+    if _use_four_step(x.shape[1]):
+        return _rfft_h_four_step(x)
     nm = config.numerics()
     fr, fi = _dft_mats(x.shape[1])[:2]
     re = jnp.einsum("fh,nhwc->nfwc", jnp.asarray(fr), x, precision=nm.matmul_precision)
@@ -65,6 +175,8 @@ def rfft_h(x):
 
 def irfft_h(re, im, h: int):
     """Inverse of :func:`rfft_h` back to height ``h``."""
+    if _use_four_step(h):
+        return _irfft_h_four_step(re, im, h)
     nm = config.numerics()
     br, bi = _dft_mats(h)[2:]
     return (jnp.einsum("tf,nfwc->ntwc", jnp.asarray(br), re, precision=nm.matmul_precision)

@@ -71,6 +71,34 @@ def pad_conv_channels(
             for k, v in params.items()}
 
 
+def densify_grouped_weights(params, groups: int, key_pred, _path: Tuple[str, ...] = ()):
+    """Expand selected grouped-conv weights (kh, kw, cin/g, cout) to dense
+    block-diagonal (kh, kw, cin, cout) at load time. ``ops.conv2d`` infers
+    groups=1 when the weight's input dim matches the activation channels,
+    so the model code's static ``groups=`` argument needs no change.
+
+    Exact (off-block weights are zero); measured 1.21x sustained on IMDTN
+    on-chip (results/protocol/layout_probes_r3.json) — the grouped form's
+    cin/g=16 contraction underfills the MXU at zoo widths.
+    """
+    if not isinstance(params, dict):
+        return params
+    if ("weight" in params and getattr(params["weight"], "ndim", 0) == 4
+            and key_pred(_path)):
+        w = np.asarray(params["weight"])
+        kh, kw, cin_g, cout = w.shape
+        cout_g = cout // groups
+        dense = np.zeros((kh, kw, cin_g * groups, cout), w.dtype)
+        for gi in range(groups):
+            dense[:, :, gi * cin_g:(gi + 1) * cin_g,
+                  gi * cout_g:(gi + 1) * cout_g] = w[:, :, :, gi * cout_g:(gi + 1) * cout_g]
+        out = dict(params)
+        out["weight"] = dense
+        return out
+    return {k: densify_grouped_weights(v, groups, key_pred, _path + (str(k),))
+            for k, v in params.items()}
+
+
 def pad_rlfn(params, target: int = 64):
     """RLFN (model 4) padded to ``target`` lanes: 46/48-channel convs widen;
     the pixel-shuffle tail conv keeps its 48 = 3*4*4 output channels

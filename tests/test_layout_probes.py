@@ -123,6 +123,6 @@ def test_fused_upsample_conv_zoo_parity(model_id, rng):
     try:
         out = np.asarray(jax.jit(apply)(params, x))
     finally:
-        config.set_fuse_upsample_conv(False)
+        config.set_fuse_upsample_conv(None)  # back to AUTO (mode-dependent)
     np.testing.assert_allclose(out, ref, atol=5e-3 * max(dr / 255.0, 1e-3) * 255,
                                rtol=1e-4)

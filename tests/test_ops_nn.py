@@ -239,3 +239,36 @@ def test_spectral_tx_rejects_odd_height(rng):
     w = rng.randn(1, 1, 4, 4).astype(np.float32)
     with pytest.raises(NotImplementedError, match="even H"):
         spectral.spectral_tx({"conv": {"weight": w}}, x)
+
+
+@pytest.mark.parametrize("h", [512, 768, 1024])
+def test_four_step_dft_matches_numpy(rng, h):
+    """The four-step (Cooley-Tukey) DFT matmul path — used for the NLFFC
+    tile height in non-parity modes (O(h*(h1+h2)) vs O(h^2)) — must match
+    pocketfft bit-close and round-trip."""
+    from ntire2022_esr_tpu import config
+    from ntire2022_esr_tpu.ops import spectral
+
+    x = rng.randn(2, h, 5, 3).astype(np.float32)
+    with config.numerics_mode("high"):
+        assert spectral._use_four_step(h)
+        re, im = spectral.rfft_h(x)
+        rt = spectral.irfft_h(re, im, h)
+    ref = np.fft.rfft(x.astype(np.float64), axis=1, norm="ortho")
+    np.testing.assert_allclose(np.asarray(re), ref.real, rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rt), x, rtol=1e-4, atol=2e-5)
+
+
+def test_four_step_gating():
+    """Parity mode and unfactorable/small heights stay on the direct
+    single-matmul DFT (the protocol-validated graph)."""
+    from ntire2022_esr_tpu import config
+    from ntire2022_esr_tpu.ops import spectral
+
+    with config.numerics_mode("parity"):
+        assert not spectral._use_four_step(1024)
+    with config.numerics_mode("high"):
+        assert not spectral._use_four_step(256)   # below threshold
+        assert not spectral._use_four_step(1021)  # prime: no h1 >= 8
+        assert spectral._use_four_step(1024)

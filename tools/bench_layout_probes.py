@@ -62,7 +62,7 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--probe", action="append", default=None,
-                    choices=["pad", "dense9", "dense27"])
+                    choices=["pad", "dense9", "dense27", "fuse33", "fuse27"])
     args = ap.parse_args(argv)
     probes = args.probe or ["pad", "dense9", "dense27"]
 
@@ -104,6 +104,25 @@ def main(argv=None):
         results[f"densify_{name}"] = {"stock_ms": stock, "dense_ms": dense,
                                       "batch": args.batch, "mode": args.mode}
         print(f"{name} densify: stock {stock:.3f} vs dense {dense:.3f} ms/img",
+              flush=True)
+        json.dump(results, open(args.out, "w"), indent=1)
+
+    for key, mid in (("fuse33", 33), ("fuse27", 27)):
+        if key not in probes:
+            continue
+        apply, params, name, dr, _ = registry.build_model(mid)
+        config.set_fuse_upsample_conv(False)
+        stock = measure_chain(apply, params, args.batch, args.size, dr,
+                              args.reps, args.iters)
+        config.set_fuse_upsample_conv(True)
+        try:
+            fused = measure_chain(apply, params, args.batch, args.size, dr,
+                                  args.reps, args.iters)
+        finally:
+            config.set_fuse_upsample_conv(None)
+        results[f"fuse_{name}"] = {"stock_ms": stock, "fused_ms": fused,
+                                   "batch": args.batch, "mode": args.mode}
+        print(f"{name} fused-upconv: stock {stock:.3f} vs fused {fused:.3f} ms/img",
               flush=True)
         json.dump(results, open(args.out, "w"), indent=1)
 
