@@ -91,10 +91,17 @@ def _four_step_mats(h: int):
 
 
 def _use_four_step(h: int) -> bool:
-    # O(h*(h1+h2)) vs the direct matmul's O(h^2): a clear win at the
-    # NLFFC tile height (1024). Parity mode keeps the single-matmul form
-    # (the protocol-validated graph); small heights are not worth the
-    # extra transposes.
+    # Despite 5.4x fewer MACs at h=1024, the four-step path MEASURED
+    # SLOWER on-chip (NLFFC spectral component 106 -> 166 ms at tile 256,
+    # results/protocol/nlffc_components_r3.json vs nlffc_fourstep.json):
+    # the model is HBM/layout-bound at its 16-channel width, and the
+    # twiddle elementwise stages + reshapes cost more than the direct
+    # form's single big matmuls save. Kept behind an explicit opt-in for
+    # the record; default off everywhere.
+    import os
+
+    if os.environ.get("NTIRE_FOUR_STEP_DFT", "0") != "1":
+        return False
     return h >= 512 and _split_factor(h) is not None and config.mode() != "parity"
 
 
@@ -163,22 +170,37 @@ def _irfft_h_four_step(re, im, h: int):
 
 
 def rfft_h(x):
-    """Real FFT over the height axis of NHWC, as (re, im) float arrays."""
+    """Real FFT over the height axis of NHWC, as (re, im) float arrays.
+
+    re and im come from ONE stacked matmul ([Fr; Fi] @ x): each output row
+    contracts independently, so this is bit-identical to two separate
+    matmuls while halving the dispatch count.
+    """
     if _use_four_step(x.shape[1]):
         return _rfft_h_four_step(x)
     nm = config.numerics()
     fr, fi = _dft_mats(x.shape[1])[:2]
-    re = jnp.einsum("fh,nhwc->nfwc", jnp.asarray(fr), x, precision=nm.matmul_precision)
-    im = jnp.einsum("fh,nhwc->nfwc", jnp.asarray(fi), x, precision=nm.matmul_precision)
-    return re, im
+    hp = fr.shape[0]
+    stacked = jnp.concatenate([jnp.asarray(fr), jnp.asarray(fi)], axis=0)
+    both = jnp.einsum("fh,nhwc->nfwc", stacked, x, precision=nm.matmul_precision)
+    return both[:, :hp], both[:, hp:]
 
 
 def irfft_h(re, im, h: int):
-    """Inverse of :func:`rfft_h` back to height ``h``."""
+    """Inverse of :func:`rfft_h` back to height ``h``.
+
+    Non-parity modes fuse the two half-matmuls into one ([Br | Bi] @
+    [re; im]) — the 2x-longer contraction reassociates the sum, so parity
+    mode keeps the protocol-validated two-matmul + add form.
+    """
     if _use_four_step(h):
         return _irfft_h_four_step(re, im, h)
     nm = config.numerics()
     br, bi = _dft_mats(h)[2:]
+    if config.mode() != "parity":
+        mat = jnp.concatenate([jnp.asarray(br), jnp.asarray(bi)], axis=1)
+        stacked = jnp.concatenate([re, im], axis=1)
+        return jnp.einsum("tf,nfwc->ntwc", mat, stacked, precision=nm.matmul_precision)
     return (jnp.einsum("tf,nfwc->ntwc", jnp.asarray(br), re, precision=nm.matmul_precision)
             + jnp.einsum("tf,nfwc->ntwc", jnp.asarray(bi), im, precision=nm.matmul_precision))
 

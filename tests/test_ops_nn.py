@@ -249,11 +249,17 @@ def test_four_step_dft_matches_numpy(rng, h):
     from ntire2022_esr_tpu import config
     from ntire2022_esr_tpu.ops import spectral
 
+    import os
+
     x = rng.randn(2, h, 5, 3).astype(np.float32)
-    with config.numerics_mode("high"):
-        assert spectral._use_four_step(h)
-        re, im = spectral.rfft_h(x)
-        rt = spectral.irfft_h(re, im, h)
+    os.environ["NTIRE_FOUR_STEP_DFT"] = "1"
+    try:
+        with config.numerics_mode("high"):
+            assert spectral._use_four_step(h)
+            re, im = spectral.rfft_h(x)
+            rt = spectral.irfft_h(re, im, h)
+    finally:
+        del os.environ["NTIRE_FOUR_STEP_DFT"]
     ref = np.fft.rfft(x.astype(np.float64), axis=1, norm="ortho")
     np.testing.assert_allclose(np.asarray(re), ref.real, rtol=1e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(im), ref.imag, rtol=1e-4, atol=2e-5)
@@ -266,9 +272,17 @@ def test_four_step_gating():
     from ntire2022_esr_tpu import config
     from ntire2022_esr_tpu.ops import spectral
 
-    with config.numerics_mode("parity"):
-        assert not spectral._use_four_step(1024)
+    import os
+
     with config.numerics_mode("high"):
-        assert not spectral._use_four_step(256)   # below threshold
-        assert not spectral._use_four_step(1021)  # prime: no h1 >= 8
-        assert spectral._use_four_step(1024)
+        assert not spectral._use_four_step(1024)  # default off (measured slower)
+    os.environ["NTIRE_FOUR_STEP_DFT"] = "1"
+    try:
+        with config.numerics_mode("parity"):
+            assert not spectral._use_four_step(1024)
+        with config.numerics_mode("high"):
+            assert not spectral._use_four_step(256)   # below threshold
+            assert not spectral._use_four_step(1021)  # prime: no h1 >= 8
+            assert spectral._use_four_step(1024)
+    finally:
+        del os.environ["NTIRE_FOUR_STEP_DFT"]
