@@ -18,7 +18,12 @@ def _self_attn(p, x, num_heads: int):
     b, n, c = x.shape
     qkv = ops.linear(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    out = attn_ops.multi_head_attention(q, k, v, num_heads)
+    # The softmax scale is the REFERENCE head_dim (team20_mobilesr.py:9-33,
+    # C=40 / 8 heads = 5), derived from the proj weight's out-features so
+    # it survives load-time head padding (porter/pad.pad_attention_heads
+    # widens q/k/v with zero dims, which must not change the scale).
+    scale = (p["proj_out"]["weight"].shape[1] // num_heads) ** -0.5
+    out = attn_ops.multi_head_attention(q, k, v, num_heads, scale=scale)
     return ops.linear(p["proj_out"], out)
 
 

@@ -99,6 +99,60 @@ def densify_grouped_weights(params, groups: int, key_pred, _path: Tuple[str, ...
             for k, v in params.items()}
 
 
+def pad_attention_heads(qkv_p, proj_p, num_heads: int, d_old: int, d_new: int):
+    """Pad an MHA's per-head dim with zero feature columns (load-time).
+
+    MobileSR's windows have head_dim 5 (C=40 / 8 heads) — a minor
+    dimension that is neither lane- nor sublane-aligned, so every q/k/v
+    transpose and attention matmul runs at a fraction of the VPU/MXU
+    width. Padding each head to ``d_new`` (e.g. 8) with zero columns in
+    the packed qkv projection (and matching zero rows in the output
+    projection) leaves every attention score and output EXACTLY unchanged
+    (zero q/k dims contribute 0 to logits; zero v dims produce zeros that
+    the proj rows ignore). The softmax scale must stay d_old**-0.5 —
+    callers derive it from the proj weight's out-features.
+
+    Returns new (qkv_params, proj_params) dicts.
+    """
+    w = np.asarray(qkv_p["weight"])          # (in, 3*heads*d_old)
+    cin = w.shape[0]
+    w3 = w.reshape(cin, 3, num_heads, d_old)
+    wn = np.zeros((cin, 3, num_heads, d_new), w.dtype)
+    wn[..., :d_old] = w3
+    qkv_new = dict(qkv_p)
+    qkv_new["weight"] = wn.reshape(cin, 3 * num_heads * d_new)
+    if qkv_p.get("bias") is not None:
+        b3 = np.asarray(qkv_p["bias"]).reshape(3, num_heads, d_old)
+        bn = np.zeros((3, num_heads, d_new), b3.dtype)
+        bn[..., :d_old] = b3
+        qkv_new["bias"] = bn.reshape(-1)
+
+    pw = np.asarray(proj_p["weight"])        # (heads*d_old, out)
+    pr = pw.reshape(num_heads, d_old, pw.shape[1])
+    pn = np.zeros((num_heads, d_new, pw.shape[1]), pw.dtype)
+    pn[:, :d_old] = pr
+    proj_new = dict(proj_p)
+    proj_new["weight"] = pn.reshape(num_heads * d_new, pw.shape[1])
+    return qkv_new, proj_new
+
+
+def pad_mobilesr_heads(params, d_new: int = 8, num_heads: int = 8):
+    """MobileSR (20): pad every transformer's attention heads 5 -> d_new."""
+    out = {k: (dict(v) if isinstance(v, dict) else v) for k, v in params.items()}
+    layers = out["body"]["layers"]
+    new_layers = {}
+    for li, layer in layers.items():
+        tr = dict(layer["0"])
+        attn = dict(tr["attn"])
+        qkv, proj = pad_attention_heads(
+            attn["qkv"], attn["proj_out"], num_heads, d_old=5, d_new=d_new)
+        attn["qkv"], attn["proj_out"] = qkv, proj
+        tr["attn"] = attn
+        new_layers[li] = {**layer, "0": tr}
+    out["body"] = {**out["body"], "layers": new_layers}
+    return out
+
+
 def pad_rlfn(params, target: int = 64):
     """RLFN (model 4) padded to ``target`` lanes: 46/48-channel convs widen;
     the pixel-shuffle tail conv keeps its 48 = 3*4*4 output channels

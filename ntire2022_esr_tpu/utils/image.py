@@ -17,6 +17,20 @@ IMG_EXTENSIONS = [".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG", ".ppm",
                   ".PPM", ".bmp", ".BMP", ".tif"]
 
 
+def imshow(x, title=None, cbar=False, figsize=None) -> None:
+    """Reference imshow (utils_image.py:30-38). matplotlib is imported
+    lazily — headless/serving environments never pay for it."""
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=figsize)
+    plt.imshow(np.squeeze(x), interpolation="nearest", cmap="gray")
+    if title:
+        plt.title(title)
+    if cbar:
+        plt.colorbar()
+    plt.show()
+
+
 def is_image_file(filename: str) -> bool:
     """Reference is_image_file (utils_image.py:22-23)."""
     return any(filename.endswith(ext) for ext in IMG_EXTENSIONS)

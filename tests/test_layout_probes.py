@@ -126,3 +126,20 @@ def test_fused_upsample_conv_zoo_parity(model_id, rng):
         config.set_fuse_upsample_conv(None)  # back to AUTO (mode-dependent)
     np.testing.assert_allclose(out, ref, atol=5e-3 * max(dr / 255.0, 1e-3) * 255,
                                rtol=1e-4)
+
+
+def test_pad_mobilesr_heads_exact(rng):
+    """Head-dim padding 5 -> 8 (zero qkv columns + zero proj rows) must
+    leave MobileSR's output exactly unchanged (scores and outputs see only
+    zeros from the pad dims; softmax scale stays 5**-0.5)."""
+    from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.porter.pad import pad_mobilesr_heads
+
+    apply, params, name, dr, tile = registry.build_model(20)
+    padded = pad_mobilesr_heads(params)
+    assert padded["body"]["layers"]["0"]["0"]["attn"]["qkv"]["weight"].shape == (40, 192)
+    assert padded["body"]["layers"]["0"]["0"]["attn"]["proj_out"]["weight"].shape == (64, 40)
+    x = jnp.asarray(rng.rand(1, 20, 24, 3).astype(np.float32) * dr)
+    ref = np.asarray(jax.jit(apply)(params, x))
+    out = np.asarray(jax.jit(apply)(padded, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

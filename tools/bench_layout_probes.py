@@ -62,7 +62,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--probe", action="append", default=None,
-                    choices=["pad", "dense9", "dense27", "fuse33", "fuse27"])
+                    choices=["pad", "dense9", "dense27", "fuse33", "fuse27",
+                             "padheads20"])
     args = ap.parse_args(argv)
     probes = args.probe or ["pad", "dense9", "dense27"]
 
@@ -105,6 +106,20 @@ def main(argv=None):
                                       "batch": args.batch, "mode": args.mode}
         print(f"{name} densify: stock {stock:.3f} vs dense {dense:.3f} ms/img",
               flush=True)
+        json.dump(results, open(args.out, "w"), indent=1)
+
+    if "padheads20" in probes:
+        from ntire2022_esr_tpu.porter.pad import pad_mobilesr_heads
+
+        apply, params, name, dr, _ = registry.build_model(20)
+        stock = measure_chain(apply, params, args.batch, args.size, dr,
+                              args.reps, args.iters)
+        padded = measure_chain(apply, pad_mobilesr_heads(params), args.batch,
+                               args.size, dr, args.reps, args.iters)
+        results["padheads_20_MobileSR"] = {"stock_ms": stock, "padded_ms": padded,
+                                           "batch": args.batch, "mode": args.mode}
+        print(f"MobileSR head-pad 5->8: stock {stock:.3f} vs padded {padded:.3f} "
+              "ms/img", flush=True)
         json.dump(results, open(args.out, "w"), indent=1)
 
     for key, mid in (("fuse33", 33), ("fuse27", 27)):
