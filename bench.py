@@ -117,7 +117,11 @@ def main():
             _fence(jitted(params, u))  # compile + fence
         except Exception as e:
             del u
-            if "RESOURCE_EXHAUSTED" in str(e):
+            # skip batches this backend cannot run: HBM exhaustion OR the
+            # remote compile helper's executable-size ceiling (HTTP 500,
+            # observed at batch 512) — both mean "try the next batch"
+            if ("RESOURCE_EXHAUSTED" in str(e) or "remote_compile" in str(e)
+                    or "HTTP 500" in str(e)):
                 continue
             raise
         times = []
