@@ -42,6 +42,9 @@ def main(argv=None):
     ap.add_argument("--write", action="store_true",
                     help="write the merged table back to --base")
     args = ap.parse_args(argv)
+    # table-only over another artifact: --base <fast.json> --update ''
+    if not args.update or not os.path.exists(args.update):
+        args.update = "/nonexistent"
 
     base = json.load(open(args.base))
     upd = json.load(open(args.update)) if os.path.exists(args.update) else {}
