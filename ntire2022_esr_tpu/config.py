@@ -138,6 +138,27 @@ def set_fuse_upsample_conv(value: "bool | None") -> None:
     _fuse_upsample_conv = value if value is None else bool(value)
 
 
+# Parallel sibling convs (RFDN's 1x1-distill + 3x3-residual pairs, NLFFC's
+# local/global branch pair) merged into one conv with concatenated output
+# lanes (ops/fused.parallel_conv_pair). Tri-state like fuse_upsample_conv:
+# AUTO = on outside parity mode.
+
+_fuse_parallel_branches: "bool | None" = (
+    None if "NTIRE_FUSE_PARALLEL_BRANCHES" not in os.environ
+    else os.environ["NTIRE_FUSE_PARALLEL_BRANCHES"] == "1")
+
+
+def fuse_parallel_branches() -> bool:
+    if _fuse_parallel_branches is None:
+        return _active_name != "parity"
+    return _fuse_parallel_branches
+
+
+def set_fuse_parallel_branches(value: "bool | None") -> None:
+    global _fuse_parallel_branches
+    _fuse_parallel_branches = value if value is None else bool(value)
+
+
 @contextmanager
 def numerics_mode(mode_name: str):
     prev = mode()

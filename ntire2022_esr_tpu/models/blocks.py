@@ -18,7 +18,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ntire2022_esr_tpu import ops
+from ntire2022_esr_tpu import config, ops
 
 Params = Dict
 
@@ -109,8 +109,19 @@ def rfdb(p: Params, x, slope: float = 0.05, residual: bool = True, esa_fn=None,
     h = x
     distilled = []
     for i in (1, 2, 3):
-        d = ops.leaky_relu(ops.conv(p[f"c{i}_d"], h, padding=0), slope)
-        r = ops.conv(p[f"c{i}_r"], h, dilation=dilations[i - 1])
+        d_p, r_p = p[f"c{i}_d"], p[f"c{i}_r"]
+        if (config.fuse_parallel_branches() and d_p["weight"].shape[:2] == (1, 1)
+                and r_p["weight"].shape[:2] == (3, 3)):
+            # one conv for the sibling 1x1-distill + 3x3-residual pair
+            # (ops/fused.parallel_conv_pair): half the dispatches, d+r
+            # output lanes; exact up to f32 reassociation
+            from ntire2022_esr_tpu.ops.fused import parallel_conv_pair
+
+            d, r = parallel_conv_pair(d_p, r_p, h, dilation=dilations[i - 1])
+            d = ops.leaky_relu(d, slope)
+        else:
+            d = ops.leaky_relu(ops.conv(d_p, h, padding=0), slope)
+            r = ops.conv(r_p, h, dilation=dilations[i - 1])
         h = ops.leaky_relu(r + h if residual else r, slope)
         distilled.append(d)
     r4 = ops.leaky_relu(ops.conv(p["c4"], h), slope)

@@ -34,12 +34,30 @@ def _global_context(p, x):
 
 
 def _ffcu(p, x):
+    from ntire2022_esr_tpu import config
+
     c = x.shape[-1]
     loc = c - c // 2
     xl, xg = x[..., :loc], x[..., loc:]
-    c00 = ops.leaky_relu(ops.conv(p["conv1"], xl), SLOPE)
+    if config.fuse_parallel_branches():
+        # the local/global 3x3 branch pair as ONE block-diagonal conv over
+        # the unsplit input: half the dispatches, 2x the output lanes at
+        # the model's lane-starved 16-channel width; exact up to f32
+        # reassociation (off-block weights are zero)
+        w1, w2 = p["conv1"]["weight"], p["conv2"]["weight"]
+        w = jnp.zeros(w1.shape[:2] + (c, c), w1.dtype)
+        w = w.at[:, :, :loc, :loc].set(w1).at[:, :, loc:, loc:].set(w2)
+        b1, b2 = p["conv1"].get("bias"), p["conv2"].get("bias")
+        b = None
+        if b1 is not None or b2 is not None:
+            z = lambda bb, n: bb if bb is not None else jnp.zeros((n,), w.dtype)
+            b = jnp.concatenate([z(b1, loc), z(b2, c - loc)])
+        both = ops.leaky_relu(ops.conv2d(x, w, b), SLOPE)
+        c00, c10 = both[..., :loc], both[..., loc:]
+    else:
+        c00 = ops.leaky_relu(ops.conv(p["conv1"], xl), SLOPE)
+        c10 = ops.leaky_relu(ops.conv(p["conv2"], xg), SLOPE)
     c01 = ops.conv(p["conv0"], _global_context(p["GlobContext"], xl), padding=0)
-    c10 = ops.leaky_relu(ops.conv(p["conv2"], xg), SLOPE)
     c11 = spectral_tx(p["SpT"], xg)
     return jnp.concatenate([c00 + c10, c01 + c11], axis=-1)
 

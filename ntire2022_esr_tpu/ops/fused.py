@@ -64,6 +64,37 @@ def nearest2_conv(p, x: jax.Array) -> jax.Array:
     return _nn.pixel_shuffle(out, 2)
 
 
+def parallel_conv_pair(p_1x1, p_kxk, x: jax.Array, dilation: int = 1):
+    """One conv for two sibling convs reading the SAME input: a 1x1
+    (pad 0) and a kxk (same-pad), their outputs kept separate.
+
+    The RFDN distillation idiom — ``c{i}_d`` (1x1 distill) and ``c{i}_r``
+    (3x3 residual) both read ``h`` (models/rfdn_baseline/block.py:132-166)
+    — issues two lane-starved convs per stage. Embedding the 1x1 at the
+    center tap of a kxk zero kernel and concatenating output channels
+    yields ONE conv with d+r output lanes and half the dispatches; the
+    center tap of a dilated kernel is still offset 0, so any dilation
+    composes. Exact up to f32 reassociation (zero taps contribute zeros;
+    XLA reduction blocking may reorder real terms).
+
+    Returns ``(out_1x1, out_kxk)``.
+    """
+    w1 = p_1x1["weight"]          # (1, 1, cin, d)
+    wk = p_kxk["weight"]          # (kh, kw, cin, r)
+    kh, kw = int(wk.shape[0]), int(wk.shape[1])
+    d = int(w1.shape[-1])
+    w1e = jnp.zeros(wk.shape[:3] + (d,), w1.dtype)
+    w1e = w1e.at[kh // 2, kw // 2].set(w1[0, 0])
+    w = jnp.concatenate([w1e, wk], axis=-1)
+    b1, bk = p_1x1.get("bias"), p_kxk.get("bias")
+    b = None
+    if b1 is not None or bk is not None:
+        z = lambda bb, n: bb if bb is not None else jnp.zeros((n,), w.dtype)
+        b = jnp.concatenate([z(b1, d), z(bk, int(wk.shape[-1]))])
+    out = _nn.conv2d(x, w, b, dilation=dilation)
+    return out[..., :d], out[..., d:]
+
+
 def upconv_nearest2(p, x: jax.Array) -> jax.Array:
     """The models' upsampler step: fused lowering when enabled
     (config.fuse_upsample_conv), reference-shaped graph otherwise."""

@@ -143,3 +143,44 @@ def test_pad_mobilesr_heads_exact(rng):
     ref = np.asarray(jax.jit(apply)(params, x))
     out = np.asarray(jax.jit(apply)(padded, x))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_parallel_conv_pair_exact_vs_torch(rng):
+    """One-conv lowering of a sibling (1x1, 3x3) pair == the two torch
+    convs, incl. dilation and missing bias."""
+    from ntire2022_esr_tpu.ops.fused import parallel_conv_pair
+
+    x = torch.from_numpy(rng.randn(2, 12, 9, 11).astype(np.float32))
+    w1 = torch.from_numpy(rng.randn(5, 12, 1, 1).astype(np.float32))
+    b1 = torch.from_numpy(rng.randn(5).astype(np.float32))
+    wk = torch.from_numpy(rng.randn(12, 12, 3, 3).astype(np.float32) * 0.3)
+    for dil in (1, 2):
+        ref_d = F.conv2d(x, w1, b1)
+        ref_r = F.conv2d(x, wk, None, padding=dil, dilation=dil)
+        d, r = parallel_conv_pair(
+            {"weight": jnp.asarray(w1.numpy().transpose(2, 3, 1, 0)),
+             "bias": jnp.asarray(b1.numpy())},
+            {"weight": jnp.asarray(wk.numpy().transpose(2, 3, 1, 0))},
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), dilation=dil)
+        np.testing.assert_allclose(np.asarray(d), ref_d.numpy().transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(r), ref_r.numpy().transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("model_id", [0, 13, 40, 2])
+def test_fuse_parallel_branches_zoo_parity(model_id, rng):
+    """RFDN-family (incl. dilated + pruned variants) and NLFFC under the
+    branch-fusion flag match the reference-shaped graph."""
+    from ntire2022_esr_tpu.harness import registry
+
+    apply, params, name, dr, tile = registry.build_model(model_id)
+    x = jnp.asarray(rng.rand(1, 24, 20, 3).astype(np.float32) * dr)
+    ref = np.asarray(jax.jit(apply)(params, x))
+    config.set_fuse_parallel_branches(True)
+    try:
+        out = np.asarray(jax.jit(apply)(params, x))
+    finally:
+        config.set_fuse_parallel_branches(None)
+    np.testing.assert_allclose(out, ref, atol=5e-3 * max(dr / 255.0, 1e-3) * 255,
+                               rtol=1e-4)

@@ -63,7 +63,7 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--probe", action="append", default=None,
                     choices=["pad", "dense9", "dense27", "fuse33", "fuse27",
-                             "padheads20"])
+                             "padheads20", "branch0", "branch2"])
     args = ap.parse_args(argv)
     probes = args.probe or ["pad", "dense9", "dense27"]
 
@@ -120,6 +120,25 @@ def main(argv=None):
                                            "batch": args.batch, "mode": args.mode}
         print(f"MobileSR head-pad 5->8: stock {stock:.3f} vs padded {padded:.3f} "
               "ms/img", flush=True)
+        json.dump(results, open(args.out, "w"), indent=1)
+
+    for key, mid in (("branch0", 0), ("branch2", 2)):
+        if key not in probes:
+            continue
+        apply, params, name, dr, _ = registry.build_model(mid)
+        config.set_fuse_parallel_branches(False)
+        stock = measure_chain(apply, params, args.batch, args.size, dr,
+                              args.reps, args.iters)
+        config.set_fuse_parallel_branches(True)
+        try:
+            fused = measure_chain(apply, params, args.batch, args.size, dr,
+                                  args.reps, args.iters)
+        finally:
+            config.set_fuse_parallel_branches(None)
+        results[f"branchfuse_{name}"] = {"stock_ms": stock, "fused_ms": fused,
+                                         "batch": args.batch, "mode": args.mode}
+        print(f"{name} branch-fuse: stock {stock:.3f} vs fused {fused:.3f} ms/img",
+              flush=True)
         json.dump(results, open(args.out, "w"), indent=1)
 
     for key, mid in (("fuse33", 33), ("fuse27", 27)):
