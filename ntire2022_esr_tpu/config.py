@@ -140,17 +140,24 @@ def set_fuse_upsample_conv(value: "bool | None") -> None:
 
 # Parallel sibling convs (RFDN's 1x1-distill + 3x3-residual pairs, NLFFC's
 # local/global branch pair) merged into one conv with concatenated output
-# lanes (ops/fused.parallel_conv_pair). Tri-state like fuse_upsample_conv:
-# AUTO = on outside parity mode.
+# lanes (ops/fused.parallel_conv_pair). Tri-state like fuse_upsample_conv,
+# but AUTO is per-site: on-chip A/B (results/protocol/layout_probes_r3.json)
+# measured the NLFFC site as a win (362 -> 341 ms/img) and the RFDN rfdb
+# site as a REGRESSION (2.78 -> 3.61 ms at batch 128 — the embedded-1x1
+# kernel turns a 1x1 into a 3x3's MACs on wide lanes), so AUTO enables
+# only the measured-win sites; NTIRE_FUSE_PARALLEL_BRANCHES=0/1 or
+# set_fuse_parallel_branches(bool) forces all sites either way.
 
 _fuse_parallel_branches: "bool | None" = (
     None if "NTIRE_FUSE_PARALLEL_BRANCHES" not in os.environ
     else os.environ["NTIRE_FUSE_PARALLEL_BRANCHES"] == "1")
 
+_BRANCH_FUSE_AUTO_SITES = frozenset({"nlffc"})
 
-def fuse_parallel_branches() -> bool:
+
+def fuse_parallel_branches(site: str = "nlffc") -> bool:
     if _fuse_parallel_branches is None:
-        return _active_name != "parity"
+        return _active_name != "parity" and site in _BRANCH_FUSE_AUTO_SITES
     return _fuse_parallel_branches
 
 

@@ -110,7 +110,7 @@ def rfdb(p: Params, x, slope: float = 0.05, residual: bool = True, esa_fn=None,
     distilled = []
     for i in (1, 2, 3):
         d_p, r_p = p[f"c{i}_d"], p[f"c{i}_r"]
-        if (config.fuse_parallel_branches() and d_p["weight"].shape[:2] == (1, 1)
+        if (config.fuse_parallel_branches("rfdb") and d_p["weight"].shape[:2] == (1, 1)
                 and r_p["weight"].shape[:2] == (3, 3)):
             # one conv for the sibling 1x1-distill + 3x3-residual pair
             # (ops/fused.parallel_conv_pair): half the dispatches, d+r

@@ -39,7 +39,7 @@ def _ffcu(p, x):
     c = x.shape[-1]
     loc = c - c // 2
     xl, xg = x[..., :loc], x[..., loc:]
-    if config.fuse_parallel_branches():
+    if config.fuse_parallel_branches("nlffc"):
         # the local/global 3x3 branch pair as ONE block-diagonal conv over
         # the unsplit input: half the dispatches, 2x the output lanes at
         # the model's lane-starved 16-channel width; exact up to f32

@@ -184,3 +184,19 @@ def test_fuse_parallel_branches_zoo_parity(model_id, rng):
         config.set_fuse_parallel_branches(None)
     np.testing.assert_allclose(out, ref, atol=5e-3 * max(dr / 255.0, 1e-3) * 255,
                                rtol=1e-4)
+
+
+def test_fuse_parallel_branches_auto_is_site_gated():
+    """AUTO enables branch fusion only at the measured-win site (nlffc);
+    the rfdb site measured a regression (layout_probes_r3.json) and stays
+    off unless explicitly forced."""
+    assert config.mode() == "parity"
+    assert not config.fuse_parallel_branches("nlffc")  # parity: all off
+    with config.numerics_mode("high"):
+        assert config.fuse_parallel_branches("nlffc")
+        assert not config.fuse_parallel_branches("rfdb")
+        config.set_fuse_parallel_branches(True)
+        try:
+            assert config.fuse_parallel_branches("rfdb")  # forced: all on
+        finally:
+            config.set_fuse_parallel_branches(None)
