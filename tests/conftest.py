@@ -26,3 +26,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _restore_numerics_mode():
+    """config.set_mode is process-global; tools invoked in-process (e.g. the
+    sweep smoke tests call sweep_zoo_sustained.main, which sets 'high')
+    must not leak their mode into later tests."""
+    from ntire2022_esr_tpu import config
+
+    prev = config.mode()
+    yield
+    if config.mode() != prev:
+        config.set_mode(prev)
