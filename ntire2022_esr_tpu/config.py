@@ -166,6 +166,68 @@ def set_fuse_parallel_branches(value: "bool | None") -> None:
     _fuse_parallel_branches = value if value is None else bool(value)
 
 
+# Repeated identical blocks (SCET's 16 SCPA, LWFANet's 10 LWFA, MobileSR's
+# 5 transformer+resblock pairs, m_RFDN's 4 m_RFDB) run as ONE lax.scan
+# over stacked params (models/blocks.scan_chain) instead of an unrolled
+# Python loop: same HLO per step, but the block body is compiled once, so
+# the executable stays near constant size in the block count.
+# MEASURED NEGATIVE for AUTO (results/protocol/layout_probes_r3.json,
+# docs/RUNTIME_TPU.md ledger): on-chip the scanned graphs are speed-
+# neutral to ~1-4% slower (SCET 12.76->12.93, LWFANet 43.01->43.32,
+# m_RFDN 28.08->29.14, MobileSR 31.31->30.95 ms/img) and do NOT lift the
+# remote-compile batch ceiling (every next-step batch still 500s — the
+# ceiling tracks tensor/batch bytes, not HLO op count). Kept opt-in as a
+# compile-time/compile-size tool: NTIRE_SCAN_BLOCKS=0/1 or
+# set_scan_blocks(bool) forces all sites; AUTO is off.
+
+_scan_blocks: "bool | None" = (
+    None if "NTIRE_SCAN_BLOCKS" not in os.environ
+    else os.environ["NTIRE_SCAN_BLOCKS"] == "1")
+
+_SCAN_AUTO_SITES = frozenset()
+
+
+def scan_blocks(site: str) -> bool:
+    if _scan_blocks is None:
+        return _active_name != "parity" and site in _SCAN_AUTO_SITES
+    return _scan_blocks
+
+
+def set_scan_blocks(value: "bool | None") -> None:
+    global _scan_blocks
+    _scan_blocks = value if value is None else bool(value)
+
+
+# Window-attention score storage dtype (ops/attention.multi_head_attention).
+# The materialized (windows, heads, N, N) logits/probs tensors are the
+# measured HBM bottleneck of the window-attention models (MobileSR
+# ablation: ~13 GB of score round-trips per batch-16 forward,
+# docs/RUNTIME_TPU.md) — XLA cannot avoid materializing across the
+# matmul/softmax/matmul boundary. Storing them in bf16 halves that
+# traffic; the converts fuse into the dot epilogue / softmax fusion, and
+# softmax itself still reduces in f32.
+#   "off"    — f32 storage (default; the parity/high claim path)
+#   "probs"  — softmax output stored bf16 (logits stay f32): ~0.2%
+#              relative error on convex weights
+#   "scores" — logits AND probs bf16: max traffic saving; logit rounding
+#              perturbs softmax weights by ~|logit|*2^-9
+# Opt-in only (NTIRE_ATTN_BF16 / set_attn_bf16) until the PSNR deltas are
+# measured per model; see the probe ledger.
+
+_attn_bf16: str = os.environ.get("NTIRE_ATTN_BF16", "off")
+
+
+def attn_bf16() -> str:
+    return _attn_bf16
+
+
+def set_attn_bf16(value: str) -> None:
+    if value not in ("off", "probs", "scores"):
+        raise ValueError(f"attn_bf16 must be off|probs|scores, got {value!r}")
+    global _attn_bf16
+    _attn_bf16 = value
+
+
 @contextmanager
 def numerics_mode(mode_name: str):
     prev = mode()

@@ -32,6 +32,52 @@ def conv_lrelu(p: Params, x, slope: float = 0.05, **kw):
     return ops.leaky_relu(ops.conv(p, x, **kw), slope)
 
 
+def scan_chain(block_fn, params_list, x, collect: bool = False):
+    """Run repeated blocks as ``lax.scan`` over stacked params.
+
+    Consecutive blocks whose param trees have identical structure and leaf
+    shapes are stacked and scanned (the block body is traced and compiled
+    once per run instead of once per block); odd-one-out blocks (e.g.
+    MobileSR's wider first/last MLPs) run unrolled in place. Numerically
+    the same graph per step as the unrolled Python loop.
+
+    ``collect=True`` additionally returns the list of per-block outputs
+    (for bodies whose outputs are concat-fused, e.g. m_RFDN's 4 m_RFDBs).
+    """
+    def sig(p):
+        leaves, treedef = jax.tree_util.tree_flatten(p)
+        return treedef, tuple(leaf.shape for leaf in leaves)
+
+    runs = []  # [(sig, [params, ...]), ...] — consecutive same-shape blocks
+    for p in params_list:
+        s = sig(p)
+        if runs and runs[-1][0] == s:
+            runs[-1][1].append(p)
+        else:
+            runs.append((s, [p]))
+
+    outs = []
+    h = x
+    for _, run in runs:
+        if len(run) == 1:
+            h = block_fn(run[0], h)
+            if collect:
+                outs.append(h)
+        else:
+            stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *run)
+
+            def body(carry, p):
+                y = block_fn(p, carry)
+                return y, (y if collect else None)
+
+            h, ys = jax.lax.scan(body, h, stacked)
+            if collect:
+                outs.extend(ys[i] for i in range(len(run)))
+    if collect:
+        return h, outs
+    return h
+
+
 # ---------------------------------------------------------------------------
 # IMD block (basicblock.py:230-265)
 # ---------------------------------------------------------------------------

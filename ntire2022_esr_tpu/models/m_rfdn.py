@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ntire2022_esr_tpu import ops
+from ntire2022_esr_tpu import config, ops
 from ntire2022_esr_tpu.models import blocks
 
 
@@ -37,11 +37,15 @@ def _m_rfdb(p, x, slope: float = 0.05):
 
 def m_rfdn_apply(params, x, *, num_modules: int = 4):
     fea = ops.conv(params["fea_conv"], x)
-    outs = []
-    h = fea
-    for i in range(1, num_modules + 1):
-        h = _m_rfdb(params[f"B{i}"], h)
-        outs.append(h)
+    body_params = [params[f"B{i}"] for i in range(1, num_modules + 1)]
+    if config.scan_blocks("m_rfdn"):
+        h, outs = blocks.scan_chain(_m_rfdb, body_params, fea, collect=True)
+    else:
+        outs = []
+        h = fea
+        for p in body_params:
+            h = _m_rfdb(p, h)
+            outs.append(h)
     h = ops.leaky_relu(ops.conv(blocks.seq(params["c"], 0), jnp.concatenate(outs, axis=-1), padding=0), 0.05)
     h = ops.conv(params["LR_conv"], h) + fea
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ntire2022_esr_tpu import ops
+from ntire2022_esr_tpu import config, ops
 from ntire2022_esr_tpu.models import blocks
 
 
@@ -174,9 +174,13 @@ def _lwfa(p, x, slope: float = 0.2):
 
 def lwfanet_apply(params, x, *, num_block: int = 10, slope: float = 0.2):
     feat = ops.conv(params["conv_first"], x)
-    h = feat
-    for i in range(num_block):
-        h = _lwfa(blocks.seq(params["body"], i), h)
+    body_params = [blocks.seq(params["body"], i) for i in range(num_block)]
+    if config.scan_blocks("lwfanet"):
+        h = blocks.scan_chain(lambda p, v: _lwfa(p, v, slope), body_params, feat)
+    else:
+        h = feat
+        for p in body_params:
+            h = _lwfa(p, h, slope)
     from ntire2022_esr_tpu.ops.fused import upconv_nearest2
 
     feat = feat + ops.conv(params["conv_body"], h)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ntire2022_esr_tpu import ops
+from ntire2022_esr_tpu import config, ops
 from ntire2022_esr_tpu.models import blocks
 from ntire2022_esr_tpu.ops import attention as attn_ops
 
@@ -54,11 +54,18 @@ def _res_block(p, x, slope: float = 0.2):
 
 def mobilesr_apply(params, x, *, n_blocks: int = 5, num_heads: int = 8, upscale: int = 4):
     x0 = ops.conv(params["head"], x)
-    h = x0
     layers = params["body"]["layers"]
-    for i in range(n_blocks):
-        h = _transformer(layers[str(i)]["0"], h, num_heads)
-        h = _res_block(layers[str(i)]["1"], h)
+    pair_params = [layers[str(i)] for i in range(n_blocks)]
+
+    def pair(p, v):
+        return _res_block(p["1"], _transformer(p["0"], v, num_heads))
+
+    if config.scan_blocks("mobilesr"):
+        h = blocks.scan_chain(pair, pair_params, x0)
+    else:
+        h = x0
+        for p in pair_params:
+            h = pair(p, h)
     h = ops.conv(params["fuse"], jnp.concatenate([x0, h], axis=-1))
     up = params["upsapling"]
     h = ops.pixel_shuffle(ops.conv(blocks.seq(up, 0), h, padding=0), 2)

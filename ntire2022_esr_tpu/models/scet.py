@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ntire2022_esr_tpu import ops
+from ntire2022_esr_tpu import config, ops
 from ntire2022_esr_tpu.models import blocks
 from ntire2022_esr_tpu.ops import attention as attn_ops
 
@@ -52,9 +52,13 @@ def _transformer_block(p, x, num_heads: int = 8):
 def scet_apply(params, x, *, n_scpa: int = 16, upscale: int = 4):
     h = ops.conv(params["conv3"], x)
     p1 = params["path1"]
-    h1 = h
-    for i in range(n_scpa):
-        h1 = _scpa(p1["0"]["arr"][str(i)], h1)
+    scpa_params = [p1["0"]["arr"][str(i)] for i in range(n_scpa)]
+    if config.scan_blocks("scet"):
+        h1 = blocks.scan_chain(_scpa, scpa_params, h)
+    else:
+        h1 = h
+        for p in scpa_params:
+            h1 = _scpa(p, h1)
     h1 = _transformer_block(p1["1"]["arr"]["0"], h1)
     h1 = ops.conv(p1["2"], h1)
     h1 = ops.pixel_shuffle(h1, upscale)

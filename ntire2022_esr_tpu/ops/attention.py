@@ -48,8 +48,25 @@ def multi_head_attention(
         nw = mask.shape[0]
         attn = attn.reshape(b // nw, nw, num_heads, n, n) + mask[None, :, None]
         attn = attn.reshape(b, num_heads, n, n)
-    attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh, precision=nm.matmul_precision)
+    # The (B, heads, N, N) logits/probs are materialized through the
+    # matmul->softmax->matmul boundary — the dominant HBM traffic of the
+    # window-attention models. config.attn_bf16 stores them in bf16 (the
+    # converts fuse into the dot epilogue / softmax fusion); softmax still
+    # reduces in f32.
+    ab = config.attn_bf16()
+    if ab == "scores":
+        attn = attn.astype(jnp.bfloat16)
+    probs = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+    if ab in ("probs", "scores"):
+        # bf16 probs x bf16 v on the MXU with f32 accumulation; HIGHEST/
+        # HIGH multi-pass passes are meaningless on bf16 inputs.
+        probs = probs.astype(jnp.bfloat16)
+        out = jnp.einsum("bhnm,bhmd->bhnd", probs, vh.astype(jnp.bfloat16),
+                         precision=jax.lax.Precision.DEFAULT,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bhnm,bhmd->bhnd", probs, vh,
+                         precision=nm.matmul_precision)
     return out.transpose(0, 2, 1, 3).reshape(b, n, c)
 
 

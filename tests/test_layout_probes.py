@@ -85,10 +85,14 @@ def test_densify_grouped_zoo_model_exact(rng):
 
     apply, params, name, dr, tile = registry.build_model(9)
     x = jnp.asarray(rng.rand(1, 18, 12, 3).astype(np.float32) * dr)
-    ref = np.asarray(jax.jit(apply)(params, x))
+    # NB fresh lambdas per call: jax's trace cache is shared across
+    # jax.jit(f) wrappers of the SAME f, and the config flag is invisible
+    # to it — re-jitting `apply` directly would silently reuse the stock
+    # trace and never exercise the flag.
+    ref = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
     config.set_densify_grouped(True)
     try:
-        out = np.asarray(jax.jit(apply)(params, x))
+        out = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
     finally:
         config.set_densify_grouped(False)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
@@ -118,10 +122,12 @@ def test_fused_upsample_conv_zoo_parity(model_id, rng):
 
     apply, params, name, dr, tile = registry.build_model(model_id)
     x = jnp.asarray(rng.rand(1, 24, 20, 3).astype(np.float32) * dr)
-    ref = np.asarray(jax.jit(apply)(params, x))
+    # fresh lambdas: see test_densify_grouped_zoo_model_exact (shared trace
+    # cache would otherwise skip the flag-on retrace entirely)
+    ref = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
     config.set_fuse_upsample_conv(True)
     try:
-        out = np.asarray(jax.jit(apply)(params, x))
+        out = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
     finally:
         config.set_fuse_upsample_conv(None)  # back to AUTO (mode-dependent)
     np.testing.assert_allclose(out, ref, atol=5e-3 * max(dr / 255.0, 1e-3) * 255,
@@ -176,10 +182,11 @@ def test_fuse_parallel_branches_zoo_parity(model_id, rng):
 
     apply, params, name, dr, tile = registry.build_model(model_id)
     x = jnp.asarray(rng.rand(1, 24, 20, 3).astype(np.float32) * dr)
-    ref = np.asarray(jax.jit(apply)(params, x))
+    # fresh lambdas: see test_densify_grouped_zoo_model_exact
+    ref = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
     config.set_fuse_parallel_branches(True)
     try:
-        out = np.asarray(jax.jit(apply)(params, x))
+        out = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
     finally:
         config.set_fuse_parallel_branches(None)
     np.testing.assert_allclose(out, ref, atol=5e-3 * max(dr / 255.0, 1e-3) * 255,
@@ -200,3 +207,65 @@ def test_fuse_parallel_branches_auto_is_site_gated():
             assert config.fuse_parallel_branches("rfdb")  # forced: all on
         finally:
             config.set_fuse_parallel_branches(None)
+
+
+@pytest.mark.parametrize("model_id", [30, 27, 20, 33])
+def test_scan_blocks_zoo_parity(model_id, rng):
+    """lax.scan over stacked repeated blocks (blocks.scan_chain) matches the
+    unrolled reference-shaped graph on every wired site: SCET's 16 SCPA,
+    LWFANet's 10 LWFA, MobileSR's 5 transformer+resblock pairs, m_RFDN's
+    4 collected m_RFDBs."""
+    from ntire2022_esr_tpu.harness import registry
+
+    apply, params, name, dr, tile = registry.build_model(model_id)
+    x = jnp.asarray(rng.rand(1, 24, 20, 3).astype(np.float32) * dr)
+    # fresh lambdas: see test_densify_grouped_zoo_model_exact
+    config.set_scan_blocks(False)
+    try:
+        ref = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
+    finally:
+        config.set_scan_blocks(None)
+    config.set_scan_blocks(True)
+    try:
+        out = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
+    finally:
+        config.set_scan_blocks(None)
+    np.testing.assert_allclose(out, ref, atol=5e-3 * max(dr / 255.0, 1e-3) * 255,
+                               rtol=1e-4)
+
+
+def test_scan_blocks_auto_off():
+    """Scan-over-blocks measured speed-neutral with no batch-ceiling lift
+    (layout_probes_r3.json): AUTO is off at every site; only the explicit
+    force enables it."""
+    with config.numerics_mode("high"):
+        assert not config.scan_blocks("scet")
+    config.set_scan_blocks(True)
+    try:
+        assert config.scan_blocks("scet")
+    finally:
+        config.set_scan_blocks(None)
+
+
+def test_attn_bf16_close_and_gated(rng):
+    """bf16 attention-score storage (config.attn_bf16) stays within bf16
+    rounding of the f32 path on MobileSR, and the knob validates input."""
+    from ntire2022_esr_tpu.harness import registry
+
+    apply, params, name, dr, tile = registry.build_model(20)
+    x = jnp.asarray(rng.rand(1, 24, 20, 3).astype(np.float32) * dr)
+    ref = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
+    outs = {}
+    for variant in ("probs", "scores"):
+        config.set_attn_bf16(variant)
+        try:
+            outs[variant] = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
+        finally:
+            config.set_attn_bf16("off")
+    # probs-only keeps ~bf16-rounding error on convex weights; scores adds
+    # logit rounding. Both must stay far inside a uint8 level (dr=1 here).
+    np.testing.assert_allclose(outs["probs"], ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(outs["scores"], ref, atol=8e-3, rtol=5e-3)
+    assert np.abs(outs["probs"] - ref).max() > 0  # the flag actually retraced
+    with pytest.raises(ValueError):
+        config.set_attn_bf16("bogus")

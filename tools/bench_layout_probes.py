@@ -63,7 +63,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--probe", action="append", default=None,
                     choices=["pad", "dense9", "dense27", "fuse33", "fuse27",
-                             "padheads20", "branch0", "branch2"])
+                             "padheads20", "branch0", "branch2",
+                             "attn20", "attn9", "attn12"])
     args = ap.parse_args(argv)
     probes = args.probe or ["pad", "dense9", "dense27"]
 
@@ -157,6 +158,25 @@ def main(argv=None):
         results[f"fuse_{name}"] = {"stock_ms": stock, "fused_ms": fused,
                                    "batch": args.batch, "mode": args.mode}
         print(f"{name} fused-upconv: stock {stock:.3f} vs fused {fused:.3f} ms/img",
+              flush=True)
+        json.dump(results, open(args.out, "w"), indent=1)
+
+
+    for key, mid in (("attn20", 20), ("attn9", 9), ("attn12", 12)):
+        if key not in probes:
+            continue
+        apply, params, name, dr, _ = registry.build_model(mid)
+        row = {"batch": args.batch, "mode": args.mode}
+        for variant in ("off", "probs", "scores"):
+            config.set_attn_bf16(variant)
+            try:
+                row[f"{variant}_ms"] = measure_chain(
+                    apply, params, args.batch, args.size, dr, args.reps, args.iters)
+            finally:
+                config.set_attn_bf16("off")
+        results[f"attnbf16_{name}"] = row
+        print(f"{name} attn-bf16: off {row['off_ms']:.3f} / probs "
+              f"{row['probs_ms']:.3f} / scores {row['scores_ms']:.3f} ms/img",
               flush=True)
         json.dump(results, open(args.out, "w"), indent=1)
 

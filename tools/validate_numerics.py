@@ -23,12 +23,21 @@ sys.path.insert(0, REPO)
 
 
 def main(argv=None):
+    import argparse
+
     import jax
 
     from ntire2022_esr_tpu import config
     from ntire2022_esr_tpu.harness import registry
 
-    ids = [int(a) for a in (argv or sys.argv[1:])] or registry.available_ids()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ids", nargs="*", type=int)
+    ap.add_argument("--attn", default="off", choices=["off", "probs", "scores"],
+                    help="apply config.attn_bf16 to the NON-parity modes only "
+                         "(parity output stays the strict reference), so the "
+                         "reported dB isolates mode + attention-storage error")
+    args = ap.parse_args(argv)
+    ids = args.ids or registry.available_ids()
     gdir = os.path.join(REPO, "tests", "goldens")
 
     print(f"{'model':22} {'high dB':>9} {'mixed dB':>9} {'fast dB':>9}")
@@ -45,8 +54,12 @@ def main(argv=None):
         outs = {}
         for mode in ("parity", "high", "mixed", "fast"):
             config.set_mode(mode)
-            f = jax.jit(lambda p, a: spec.apply(p, a))
-            y = np.asarray(f(params, x), dtype=np.float32)
+            config.set_attn_bf16("off" if mode == "parity" else args.attn)
+            try:
+                f = jax.jit(lambda p, a: spec.apply(p, a))
+                y = np.asarray(f(params, x), dtype=np.float32)
+            finally:
+                config.set_attn_bf16("off")
             outs[mode] = np.round(np.clip(y, 0, dr) * (255.0 / dr))
 
         def psnr(a, b):
