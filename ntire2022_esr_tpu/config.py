@@ -207,23 +207,34 @@ def set_scan_blocks(value: "bool | None") -> None:
 # traffic; the converts fuse into the dot epilogue / softmax fusion, and
 # softmax itself still reduces in f32.
 #   "off"    — f32 storage (default; the parity/high claim path)
-#   "probs"  — softmax output stored bf16 (logits stay f32): ~0.2%
-#              relative error on convex weights
-#   "scores" — logits AND probs bf16: max traffic saving; logit rounding
-#              perturbs softmax weights by ~|logit|*2^-9
-# Opt-in only (NTIRE_ATTN_BF16 / set_attn_bf16) until the PSNR deltas are
-# measured per model; see the probe ledger.
+#   "probs"  — softmax output stored bf16 (logits stay f32). MEASURED
+#              SLOWER than off on all three window-attention models (the
+#              lone bf16 probs tensor breaks XLA's softmax fusion into an
+#              extra convert kernel) — kept for A/B only.
+#   "scores" — logits AND probs bf16: on-chip wins 13.4% on MobileSR,
+#              16.2% on HNCT, 6.1% on IMDTN (layout_probes_r3.json).
+# AUTO is per-site like the other graph transforms: "scores" outside
+# parity for the sites whose measured between-mode PSNR stays at/above the
+# zoo-wide high-mode floor of 68.5 dB (mobilesr 68.9, hnct 77.0); imdtn
+# (66.7 dB) stays opt-in. NTIRE_ATTN_BF16=off|probs|scores or
+# set_attn_bf16(str) forces all sites; None/unset = AUTO.
 
-_attn_bf16: str = os.environ.get("NTIRE_ATTN_BF16", "off")
+_attn_bf16: "str | None" = os.environ.get("NTIRE_ATTN_BF16") or None
+
+_ATTN_BF16_AUTO_SITES = frozenset({"mobilesr", "hnct"})
 
 
-def attn_bf16() -> str:
+def attn_bf16(site: str = "mha") -> str:
+    if _attn_bf16 is None:
+        if _active_name != "parity" and site in _ATTN_BF16_AUTO_SITES:
+            return "scores"
+        return "off"
     return _attn_bf16
 
 
-def set_attn_bf16(value: str) -> None:
-    if value not in ("off", "probs", "scores"):
-        raise ValueError(f"attn_bf16 must be off|probs|scores, got {value!r}")
+def set_attn_bf16(value: "str | None") -> None:
+    if value is not None and value not in ("off", "probs", "scores"):
+        raise ValueError(f"attn_bf16 must be off|probs|scores|None, got {value!r}")
     global _attn_bf16
     _attn_bf16 = value
 

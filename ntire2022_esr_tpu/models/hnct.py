@@ -34,7 +34,8 @@ def _swin_t(p, x, num_heads: int = 5, ws: int = 8, depth: int = 2):
     tokens = ops.layer_norm(layer["patch_embed"]["norm"], tokens)
     for i in range(depth):
         shift = 0 if i % 2 == 0 else ws // 2
-        tokens = swin.swin_block(layer["blocks"][str(i)], tokens, (hp, wp), num_heads, ws, shift)
+        tokens = swin.swin_block(layer["blocks"][str(i)], tokens, (hp, wp), num_heads, ws,
+                                 shift, site="hnct")
     xp = tokens.reshape(b, hp, wp, c)
     return xp[:, :h, :w, :]
 

@@ -24,7 +24,7 @@ def _rstb(p, x, num_heads: int = 2, ws: int = 6, depth: int = 2):
         shift = 0 if i % 2 == 0 else ws // 2
         tokens = swin.swin_block(
             p["residual_group"]["blocks"][str(i)], tokens, (h, w), num_heads, ws, shift,
-            pre_norm=True,
+            pre_norm=True, site="imdtn",
         )
     return tokens.reshape(b, h, w, c) + x
 

@@ -23,7 +23,8 @@ def _self_attn(p, x, num_heads: int):
     # it survives load-time head padding (porter/pad.pad_attention_heads
     # widens q/k/v with zero dims, which must not change the scale).
     scale = (p["proj_out"]["weight"].shape[1] // num_heads) ** -0.5
-    out = attn_ops.multi_head_attention(q, k, v, num_heads, scale=scale)
+    out = attn_ops.multi_head_attention(q, k, v, num_heads, scale=scale,
+                                        site="mobilesr")
     return ops.linear(p["proj_out"], out)
 
 

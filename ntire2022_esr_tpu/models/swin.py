@@ -18,7 +18,7 @@ from ntire2022_esr_tpu.ops import attention as attn_ops
 
 
 def window_attention(p, x, num_heads: int, ws: int, mask: Optional[np.ndarray] = None,
-                     scale: Optional[float] = None):
+                     scale: Optional[float] = None, site: str = "swin"):
     """x: (B_, N, C) window tokens; p has qkv/proj linears + rel-bias table."""
     b_, n, c = x.shape
     qkv = ops.linear(p["qkv"], x)
@@ -28,12 +28,13 @@ def window_attention(p, x, num_heads: int, ws: int, mask: Optional[np.ndarray] =
     rel_bias = table[idx].reshape(n, n, num_heads).transpose(2, 0, 1)
     mask_j = jnp.asarray(mask) if mask is not None else None
     out = attn_ops.multi_head_attention(
-        q, k, v, num_heads, scale=scale, rel_bias=jnp.asarray(rel_bias), mask=mask_j)
+        q, k, v, num_heads, scale=scale, rel_bias=jnp.asarray(rel_bias), mask=mask_j,
+        site=site)
     return ops.linear(p["proj"], out)
 
 
 def swin_block(p, tokens, size, num_heads: int, ws: int, shift: int, mlp_act=ops.gelu,
-               pre_norm: bool = False):
+               pre_norm: bool = False, site: str = "swin"):
     """One (S)W-MSA block on (B, H*W, C) tokens.
 
     ``pre_norm=False`` matches HNCT's variant whose norm1/norm2 are
@@ -48,7 +49,7 @@ def swin_block(p, tokens, size, num_heads: int, ws: int, shift: int, mlp_act=ops
         x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
     windows = attn_ops.window_partition(x, ws)
     mask = attn_ops.swin_shift_mask(h, w, ws, shift) if shift > 0 else None
-    windows = window_attention(p["attn"], windows, num_heads, ws, mask)
+    windows = window_attention(p["attn"], windows, num_heads, ws, mask, site=site)
     x = attn_ops.window_reverse(windows, ws, h, w)
     if shift > 0:
         x = jnp.roll(x, (shift, shift), axis=(1, 2))

@@ -25,11 +25,13 @@ def multi_head_attention(
     scale: Optional[float] = None,
     rel_bias: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
+    site: str = "mha",
 ) -> jax.Array:
     """Batched MHA over (B, N, C) tokens.
 
     ``rel_bias``: (heads, N, N) added to logits. ``mask``: (nW, N, N) added
     per window group (B must be a multiple of nW; Swin shift mask layout).
+    ``site``: model key for the per-site config.attn_bf16 AUTO gate.
     """
     nm = config.numerics()
     b, n, c = q.shape
@@ -53,7 +55,7 @@ def multi_head_attention(
     # window-attention models. config.attn_bf16 stores them in bf16 (the
     # converts fuse into the dot epilogue / softmax fusion); softmax still
     # reduces in f32.
-    ab = config.attn_bf16()
+    ab = config.attn_bf16(site)
     if ab == "scores":
         attn = attn.astype(jnp.bfloat16)
     probs = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)

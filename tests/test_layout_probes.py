@@ -261,7 +261,7 @@ def test_attn_bf16_close_and_gated(rng):
         try:
             outs[variant] = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
         finally:
-            config.set_attn_bf16("off")
+            config.set_attn_bf16(None)
     # probs-only keeps ~bf16-rounding error on convex weights; scores adds
     # logit rounding. Both must stay far inside a uint8 level (dr=1 here).
     np.testing.assert_allclose(outs["probs"], ref, atol=2e-3, rtol=1e-3)
@@ -269,3 +269,12 @@ def test_attn_bf16_close_and_gated(rng):
     assert np.abs(outs["probs"] - ref).max() > 0  # the flag actually retraced
     with pytest.raises(ValueError):
         config.set_attn_bf16("bogus")
+    # AUTO gate: "scores" outside parity at the measured-win sites only
+    # (mobilesr 68.9 / hnct 77.0 dB stay at the high-mode floor; imdtn's
+    # 66.7 dB keeps it opt-in — layout_probes_r3.json / validate_numerics)
+    assert config.attn_bf16("mobilesr") == "off"  # parity
+    with config.numerics_mode("high"):
+        assert config.attn_bf16("mobilesr") == "scores"
+        assert config.attn_bf16("hnct") == "scores"
+        assert config.attn_bf16("imdtn") == "off"
+        assert config.attn_bf16("mha") == "off"

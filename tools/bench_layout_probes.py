@@ -173,7 +173,7 @@ def main(argv=None):
                 row[f"{variant}_ms"] = measure_chain(
                     apply, params, args.batch, args.size, dr, args.reps, args.iters)
             finally:
-                config.set_attn_bf16("off")
+                config.set_attn_bf16(None)  # back to AUTO
         results[f"attnbf16_{name}"] = row
         print(f"{name} attn-bf16: off {row['off_ms']:.3f} / probs "
               f"{row['probs_ms']:.3f} / scores {row['scores_ms']:.3f} ms/img",

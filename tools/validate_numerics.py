@@ -32,10 +32,11 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("ids", nargs="*", type=int)
-    ap.add_argument("--attn", default="off", choices=["off", "probs", "scores"],
-                    help="apply config.attn_bf16 to the NON-parity modes only "
-                         "(parity output stays the strict reference), so the "
-                         "reported dB isolates mode + attention-storage error")
+    ap.add_argument("--attn", default="auto", choices=["auto", "off", "probs", "scores"],
+                    help="attention-score storage for the NON-parity modes "
+                         "(parity output stays the strict reference): 'auto' "
+                         "= shipped per-site AUTO config; 'off' isolates pure "
+                         "mode error; probs/scores force the variant")
     args = ap.parse_args(argv)
     ids = args.ids or registry.available_ids()
     gdir = os.path.join(REPO, "tests", "goldens")
@@ -54,12 +55,13 @@ def main(argv=None):
         outs = {}
         for mode in ("parity", "high", "mixed", "fast"):
             config.set_mode(mode)
-            config.set_attn_bf16("off" if mode == "parity" else args.attn)
+            if args.attn != "auto":
+                config.set_attn_bf16("off" if mode == "parity" else args.attn)
             try:
                 f = jax.jit(lambda p, a: spec.apply(p, a))
                 y = np.asarray(f(params, x), dtype=np.float32)
             finally:
-                config.set_attn_bf16("off")
+                config.set_attn_bf16(None)
             outs[mode] = np.round(np.clip(y, 0, dr) * (255.0 / dr))
 
         def psnr(a, b):
