@@ -239,6 +239,48 @@ def set_attn_bf16(value: "str | None") -> None:
     _attn_bf16 = value
 
 
+# HR-tail bf16: run a model's full-resolution tail (the x4-upsampled convs
+# that dominate the HBM-bound models' time in f32 modes) under fast-mode
+# numerics while the body keeps the active mode. Scoped at trace time via
+# hr_tail_scope() around the tail section; the model casts the result back
+# to f32. Opt-in (NTIRE_HR_TAIL_BF16=1 / set_hr_tail_bf16) — the measured
+# PSNR cost sits between `high` and `fast` per model (probe ledger);
+# AUTO stays off at every site pending a >=68.5 dB measurement.
+
+_hr_tail_bf16: "bool | None" = (
+    None if "NTIRE_HR_TAIL_BF16" not in os.environ
+    else os.environ["NTIRE_HR_TAIL_BF16"] == "1")
+
+_HR_TAIL_AUTO_SITES = frozenset()
+
+
+def hr_tail_bf16(site: str) -> bool:
+    if _hr_tail_bf16 is None:
+        return _active_name != "parity" and site in _HR_TAIL_AUTO_SITES
+    return _hr_tail_bf16
+
+
+def set_hr_tail_bf16(value: "bool | None") -> None:
+    global _hr_tail_bf16
+    _hr_tail_bf16 = value if value is None else bool(value)
+
+
+@contextmanager
+def hr_tail_scope(site: str):
+    """Trace-time scope: fast-mode numerics for a model's HR tail when
+    hr_tail_bf16(site) is on, otherwise a no-op. Restores the active mode
+    (name included) on exit; callers cast the scope's result back to f32."""
+    if not hr_tail_bf16(site):
+        yield False
+        return
+    prev = mode()
+    set_mode("fast")
+    try:
+        yield True
+    finally:
+        set_mode(prev)
+
+
 @contextmanager
 def numerics_mode(mode_name: str):
     prev = mode()

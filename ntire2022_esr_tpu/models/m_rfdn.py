@@ -54,10 +54,15 @@ def m_rfdn_apply(params, x, *, num_modules: int = 4):
 
     from ntire2022_esr_tpu.ops.fused import upconv_nearest2
 
-    h = upconv_nearest2(params["upconv1"], h)
-    h = ops.leaky_relu(pa(params["att1"], h), 0.2)
-    h = ops.leaky_relu(ops.conv(params["HRconv1"], h), 0.2)
-    h = upconv_nearest2(params["upconv2"], h)
-    h = ops.leaky_relu(pa(params["att2"], h), 0.2)
-    h = ops.leaky_relu(ops.conv(params["HRconv2"], h), 0.2)
-    return ops.conv(params["conv_last"], h)
+    def tail(h):
+        h = upconv_nearest2(params["upconv1"], h)
+        h = ops.leaky_relu(pa(params["att1"], h), 0.2)
+        h = ops.leaky_relu(ops.conv(params["HRconv1"], h), 0.2)
+        h = upconv_nearest2(params["upconv2"], h)
+        h = ops.leaky_relu(pa(params["att2"], h), 0.2)
+        h = ops.leaky_relu(ops.conv(params["HRconv2"], h), 0.2)
+        return ops.conv(params["conv_last"], h)
+
+    with config.hr_tail_scope("m_rfdn") as bf16_tail:
+        out = tail(h)
+    return out.astype(jnp.float32) if bf16_tail else out

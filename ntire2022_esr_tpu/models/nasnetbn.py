@@ -9,7 +9,9 @@ x4 residual. Registry arch (test_demo.py:222-223):
 
 from __future__ import annotations
 
-from ntire2022_esr_tpu import ops
+import jax.numpy as jnp
+
+from ntire2022_esr_tpu import config, ops
 from ntire2022_esr_tpu.models import blocks
 
 ARCH_LIST = (3, 1, 2, 3, 3, 0, 1, 2, 0, 0, 0, 0, 2, 3, 3, 1)
@@ -51,7 +53,11 @@ def nasnetbn_apply(params, x, *, arch_list=ARCH_LIST, upscale: int = 4, slope: f
             h = _res_bn(p, h)
         else:
             h = _res_leaky_bn(p, h)
-    h = ops.leaky_relu(ops.pixel_shuffle(ops.conv(params["upconv1"], h), 2), slope)
-    h = ops.leaky_relu(ops.pixel_shuffle(ops.conv(params["upconv2"], h), 2), slope)
-    out = ops.conv(params["conv_last"], ops.leaky_relu(ops.conv(params["HRconv"], h), slope))
+    with config.hr_tail_scope("nasnetbn") as bf16_tail:
+        h2 = ops.leaky_relu(ops.pixel_shuffle(ops.conv(params["upconv1"], h), 2), slope)
+        h2 = ops.leaky_relu(ops.pixel_shuffle(ops.conv(params["upconv2"], h2), 2), slope)
+        out = ops.conv(params["conv_last"], ops.leaky_relu(ops.conv(params["HRconv"], h2), slope))
+    if bf16_tail:
+        out = out.astype(jnp.float32)
+    # the global bilinear residual stays f32: it carries the base image
     return out + ops.interpolate(x, scale_factor=upscale, mode="bilinear")

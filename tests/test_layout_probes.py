@@ -278,3 +278,26 @@ def test_attn_bf16_close_and_gated(rng):
         assert config.attn_bf16("hnct") == "scores"
         assert config.attn_bf16("imdtn") == "off"
         assert config.attn_bf16("mha") == "off"
+
+
+@pytest.mark.parametrize("model_id", [33, 27, 28])
+def test_hr_tail_bf16_close(model_id, rng):
+    """bf16 HR tail (config.hr_tail_scope) stays within bf16 rounding of the
+    f32 graph on every wired site, and mode state is restored after trace."""
+    from ntire2022_esr_tpu.harness import registry
+
+    apply, params, name, dr, tile = registry.build_model(model_id)
+    x = jnp.asarray(rng.rand(1, 24, 20, 3).astype(np.float32) * dr)
+    ref = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
+    config.set_hr_tail_bf16(True)
+    try:
+        out = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
+    finally:
+        config.set_hr_tail_bf16(None)
+    assert config.mode() == "parity"  # scope restored the mode
+    assert out.dtype == np.float32
+    d = np.abs(out - ref).max()
+    assert 0 < d < 2.5e-2 * max(dr / 255.0, 1e-3) * 255, d
+    # AUTO off at every site until a >=68.5 dB measurement ships one
+    with config.numerics_mode("high"):
+        assert not config.hr_tail_bf16("m_rfdn")

@@ -64,7 +64,8 @@ def main(argv=None):
     ap.add_argument("--probe", action="append", default=None,
                     choices=["pad", "dense9", "dense27", "fuse33", "fuse27",
                              "padheads20", "branch0", "branch2",
-                             "attn20", "attn9", "attn12"])
+                             "attn20", "attn9", "attn12",
+                             "tail33", "tail27", "tail28"])
     args = ap.parse_args(argv)
     probes = args.probe or ["pad", "dense9", "dense27"]
 
@@ -161,6 +162,25 @@ def main(argv=None):
               flush=True)
         json.dump(results, open(args.out, "w"), indent=1)
 
+
+    for key, mid in (("tail33", 33), ("tail27", 27), ("tail28", 28)):
+        if key not in probes:
+            continue
+        apply, params, name, dr, _ = registry.build_model(mid)
+        config.set_hr_tail_bf16(False)
+        stock = measure_chain(apply, params, args.batch, args.size, dr,
+                              args.reps, args.iters)
+        config.set_hr_tail_bf16(True)
+        try:
+            tail = measure_chain(apply, params, args.batch, args.size, dr,
+                                 args.reps, args.iters)
+        finally:
+            config.set_hr_tail_bf16(None)
+        results[f"hrtail_{name}"] = {"stock_ms": stock, "tail_bf16_ms": tail,
+                                     "batch": args.batch, "mode": args.mode}
+        print(f"{name} hr-tail-bf16: stock {stock:.3f} vs bf16-tail {tail:.3f} "
+              "ms/img", flush=True)
+        json.dump(results, open(args.out, "w"), indent=1)
 
     for key, mid in (("attn20", 20), ("attn9", 9), ("attn12", 12)):
         if key not in probes:

@@ -37,6 +37,10 @@ def main(argv=None):
                          "(parity output stays the strict reference): 'auto' "
                          "= shipped per-site AUTO config; 'off' isolates pure "
                          "mode error; probs/scores force the variant")
+    ap.add_argument("--tail", default="auto", choices=["auto", "off", "on"],
+                    help="HR-tail bf16 (config.hr_tail_bf16) for the "
+                         "NON-parity modes: 'auto' = shipped config, "
+                         "'off'/'on' force it")
     args = ap.parse_args(argv)
     ids = args.ids or registry.available_ids()
     gdir = os.path.join(REPO, "tests", "goldens")
@@ -57,11 +61,15 @@ def main(argv=None):
             config.set_mode(mode)
             if args.attn != "auto":
                 config.set_attn_bf16("off" if mode == "parity" else args.attn)
+            if args.tail != "auto":
+                config.set_hr_tail_bf16(
+                    False if mode == "parity" else args.tail == "on")
             try:
                 f = jax.jit(lambda p, a: spec.apply(p, a))
                 y = np.asarray(f(params, x), dtype=np.float32)
             finally:
                 config.set_attn_bf16(None)
+                config.set_hr_tail_bf16(None)
             outs[mode] = np.round(np.clip(y, 0, dr) * (255.0 / dr))
 
         def psnr(a, b):
