@@ -69,7 +69,11 @@ def mobilesr_apply(params, x, *, n_blocks: int = 5, num_heads: int = 8, upscale:
             h = pair(p, h)
     h = ops.conv(params["fuse"], jnp.concatenate([x0, h], axis=-1))
     up = params["upsapling"]
-    h = ops.pixel_shuffle(ops.conv(blocks.seq(up, 0), h, padding=0), 2)
-    h = ops.pixel_shuffle(ops.conv(blocks.seq(up, 2), h, padding=0), 2)
-    h = ops.conv(params["tail"], ops.leaky_relu(h, 0.2))
-    return h + ops.interpolate(x, scale_factor=upscale, mode="bilinear")
+    with config.hr_tail_scope("mobilesr") as bf16_tail:
+        h2 = ops.pixel_shuffle(ops.conv(blocks.seq(up, 0), h, padding=0), 2)
+        h2 = ops.pixel_shuffle(ops.conv(blocks.seq(up, 2), h2, padding=0), 2)
+        h2 = ops.conv(params["tail"], ops.leaky_relu(h2, 0.2))
+    if bf16_tail:
+        h2 = h2.astype(jnp.float32)
+    # the global bilinear residual stays f32: it carries the base image
+    return h2 + ops.interpolate(x, scale_factor=upscale, mode="bilinear")

@@ -60,6 +60,10 @@ def scet_apply(params, x, *, n_scpa: int = 16, upscale: int = 4):
         for p in scpa_params:
             h1 = _scpa(p, h1)
     h1 = _transformer_block(p1["1"]["arr"]["0"], h1)
+    # HR-tail bf16 is deliberately NOT wired here: on-chip A/B (batch 32:
+    # 20.94 -> 20.30 ms/img, -3%) and at the real batch-64 cap the bf16 cast
+    # OOMs HBM (XLA materializes f32 HR conv temps it otherwise fuses), i.e.
+    # the lever LOWERS this model's batch ceiling — see docs/RUNTIME_TPU.md.
     h1 = ops.conv(p1["2"], h1)
     h1 = ops.pixel_shuffle(h1, upscale)
     h1 = ops.conv(p1["4"], h1)

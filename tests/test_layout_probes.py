@@ -280,7 +280,7 @@ def test_attn_bf16_close_and_gated(rng):
         assert config.attn_bf16("mha") == "off"
 
 
-@pytest.mark.parametrize("model_id", [33, 27, 28])
+@pytest.mark.parametrize("model_id", [33, 27, 28, 20])
 def test_hr_tail_bf16_close(model_id, rng):
     """bf16 HR tail (config.hr_tail_scope) stays within bf16 rounding of the
     f32 graph on every wired site, and mode state is restored after trace."""

@@ -65,7 +65,7 @@ def main(argv=None):
                     choices=["pad", "dense9", "dense27", "fuse33", "fuse27",
                              "padheads20", "branch0", "branch2",
                              "attn20", "attn9", "attn12",
-                             "tail33", "tail27", "tail28"])
+                             "tail33", "tail27", "tail28", "tail20"])
     args = ap.parse_args(argv)
     probes = args.probe or ["pad", "dense9", "dense27"]
 
@@ -163,7 +163,8 @@ def main(argv=None):
         json.dump(results, open(args.out, "w"), indent=1)
 
 
-    for key, mid in (("tail33", 33), ("tail27", 27), ("tail28", 28)):
+    for key, mid in (("tail33", 33), ("tail27", 27), ("tail28", 28),
+                     ("tail20", 20)):
         if key not in probes:
             continue
         apply, params, name, dr, _ = registry.build_model(mid)
