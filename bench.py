@@ -113,17 +113,25 @@ def main():
     best = (0.0, 0)
     for batch in batches:
         u = jnp.asarray(rng.randint(0, 256, (batch, 256, 256, 3), dtype=np.uint8))
-        try:
-            _fence(jitted(params, u))  # compile + fence
-        except Exception as e:
-            del u
-            # skip batches this backend cannot run: HBM exhaustion OR the
-            # remote compile helper's executable-size ceiling (HTTP 500,
-            # observed at batch 512) — both mean "try the next batch"
-            if ("RESOURCE_EXHAUSTED" in str(e) or "remote_compile" in str(e)
-                    or "HTTP 500" in str(e)):
-                continue
-            raise
+        for attempt in (0, 1):
+            try:
+                _fence(jitted(params, u))  # compile + fence
+                break
+            except Exception as e:
+                # skip batches this backend cannot run: HBM exhaustion OR
+                # the remote compile helper's executable-size ceiling
+                # (HTTP 500, observed at batch 512) — both mean "try the
+                # next batch". A 500 can also be a transient helper blip,
+                # so retry once at the same batch before skipping it.
+                if not ("RESOURCE_EXHAUSTED" in str(e)
+                        or "remote_compile" in str(e) or "HTTP 500" in str(e)):
+                    raise
+                if "RESOURCE_EXHAUSTED" in str(e) or attempt == 1:
+                    del u
+                    u = None
+                    break
+        if u is None:
+            continue
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
@@ -164,7 +172,41 @@ def main():
     if per_call is not None:
         rec["per_call_images_per_sec"] = round(per_call, 2)
         rec["per_call_vs_baseline"] = round(per_call / BASELINE_IMG_PER_SEC, 3)
+    rec.update(_zoo_summary())
     print(json.dumps(rec))
+
+
+def _zoo_summary():
+    """Full-zoo aggregates from the recorded on-chip sustained artifacts
+    (results/protocol/zoo_sustained*.json, measured by
+    tools/sweep_zoo_sustained.py) vs the published Titan Xp per-model
+    runtimes — so each BENCH_rN records the zoo-wide picture alongside the
+    flagship number. Static file reads; no device work."""
+    import math
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    out = {}
+    try:
+        from merge_sustained import TITAN_MS
+
+        def agg(path):
+            art = json.load(open(os.path.join(repo, path)))
+            sps = [TITAN_MS[n] / r["ms_per_image_sustained"]
+                   for n, r in art.items() if n in TITAN_MS]
+            geo = math.exp(sum(math.log(s) for s in sps) / len(sps))
+            return round(geo, 1), round(min(sps), 1), len(sps)
+
+        geo, lo, n = agg("results/protocol/zoo_sustained.json")
+        out["zoo_sustained_geomean_vs_baseline"] = geo
+        out["zoo_sustained_min_vs_baseline"] = lo
+        out["zoo_models"] = n
+        geo, lo, _ = agg("results/protocol/zoo_sustained_fast_r3.json")
+        out["zoo_fast_geomean_vs_baseline"] = geo
+        out["zoo_fast_min_vs_baseline"] = lo
+    except Exception:
+        pass  # artifacts absent (fresh clone): headline fields still emitted
+    return out
 
 
 if __name__ == "__main__":

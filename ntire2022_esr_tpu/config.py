@@ -239,6 +239,13 @@ def set_attn_bf16(value: "str | None") -> None:
     _attn_bf16 = value
 
 
+def attn_bf16_override() -> "str | None":
+    """The raw forced value (env/setter), None when AUTO — so tools can
+    snapshot and restore the process state instead of clobbering an
+    NTIRE_ATTN_BF16 opt-in with set_attn_bf16(None)."""
+    return _attn_bf16
+
+
 # HR-tail bf16: run a model's full-resolution tail (the x4-upsampled convs
 # that dominate the HBM-bound models' time in f32 modes) under fast-mode
 # numerics while the body keeps the active mode. Scoped at trace time via
@@ -263,6 +270,11 @@ def hr_tail_bf16(site: str) -> bool:
 def set_hr_tail_bf16(value: "bool | None") -> None:
     global _hr_tail_bf16
     _hr_tail_bf16 = value if value is None else bool(value)
+
+
+def hr_tail_bf16_override() -> "bool | None":
+    """Raw forced value (env/setter), None when AUTO (see attn_bf16_override)."""
+    return _hr_tail_bf16
 
 
 @contextmanager

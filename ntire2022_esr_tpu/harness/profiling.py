@@ -30,6 +30,38 @@ def fence(out) -> None:
     np.asarray(jax.device_get(leaf))
 
 
+def chain_timer(apply, params, x, reps: int = 8, iters: int = 3) -> float:
+    """Chain-method sustained timing (docs/RUNTIME_TPU.md): ``reps`` async
+    dispatches of a small forward+reduce executable back-to-back (the
+    device queue pipelines them; validated 0.2% from an in-graph fori loop
+    on-chip), fenced once, median over ``iters``. Returns median SECONDS
+    per chain — callers divide by reps (and batch) for ms/img.
+
+    The input is varied per rep (``* (1 + 1e-6*i)``) so no dispatch can be
+    elided; a fresh jit cache is created per call, so monkeypatched model
+    internals (component-ablation tools) retrace correctly. This is THE
+    canonical implementation — the sustained sweep and every A/B probe
+    tool time through it so their numbers stay methodology-comparable.
+    ``params``/``x`` should already be on device (jax.device_put).
+    """
+    import jax.numpy as jnp
+
+    def step(p, a, i):
+        return jnp.sum(apply(p, a * (1.0 + 1e-6 * i)))
+
+    jitted = jax.jit(step)
+    fence(jitted(params, x, jnp.float32(0.0)))  # compile + warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        acc = None
+        for r in range(reps):
+            acc = jitted(params, x, jnp.float32(r))
+        fence(acc)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
 def device_timer(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> Tuple[float, Sequence[float]]:
     """Median + all per-call wall times (seconds) of ``fn(*args)``."""
     for _ in range(warmup):

@@ -118,10 +118,17 @@ def load_params(spec: ModelSpec, weights_dir: Optional[str] = None,
 
 
 def build_model(model_id: int, weights_dir: Optional[str] = None,
-                zoo_dir: Optional[str] = None) -> Tuple[Callable, dict, str, float, Optional[int]]:
-    """select_model contract: returns (apply, params, name, data_range, tile)."""
+                zoo_dir: Optional[str] = None, *,
+                apply_load_transform: bool = True,
+                ) -> Tuple[Callable, dict, str, float, Optional[int]]:
+    """select_model contract: returns (apply, params, name, data_range, tile).
+
+    ``apply_load_transform=False`` skips the spec's load-time param
+    transform (e.g. IMDTN's grouped-conv densify) — for A/B probes and
+    tests that need the stock param layout as their baseline arm.
+    """
     spec = get_spec(model_id)
     params = load_params(spec, weights_dir, zoo_dir)
-    if spec.load_transform is not None:
+    if apply_load_transform and spec.load_transform is not None:
         params = spec.load_transform(params)
     return spec.apply, params, spec.name, spec.data_range, spec.tile

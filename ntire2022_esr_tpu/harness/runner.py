@@ -81,16 +81,19 @@ def run(
     # forward with a logged decision (once per shape).
     spatial_fn = None
     if spatial_mesh is not None and tile is None:
-        from ntire2022_esr_tpu.parallel.spatial import make_spatial_apply
+        from ntire2022_esr_tpu.parallel.spatial import (
+            SpatialShardUnavailable, make_spatial_apply)
 
         spatial_fn = make_spatial_apply(apply, spatial_mesh, overlap=spatial_overlap)
     _spatial_warned = set()
 
     def forward(x):
         if spatial_fn is not None:
+            # only the explicit cannot-shard-this-shape condition falls
+            # back; any other error from the sharded forward propagates
             try:
                 return spatial_fn(device_params, x)
-            except ValueError as exc:
+            except SpatialShardUnavailable as exc:
                 if x.shape not in _spatial_warned:
                     _spatial_warned.add(x.shape)
                     logger.info(

@@ -45,13 +45,9 @@ def _ffcu(p, x):
         # the model's lane-starved 16-channel width; exact up to f32
         # reassociation (off-block weights are zero)
         w1, w2 = p["conv1"]["weight"], p["conv2"]["weight"]
-        w = jnp.zeros(w1.shape[:2] + (c, c), w1.dtype)
-        w = w.at[:, :, :loc, :loc].set(w1).at[:, :, loc:, loc:].set(w2)
-        b1, b2 = p["conv1"].get("bias"), p["conv2"].get("bias")
-        b = None
-        if b1 is not None or b2 is not None:
-            z = lambda bb, n: bb if bb is not None else jnp.zeros((n,), w.dtype)
-            b = jnp.concatenate([z(b1, loc), z(b2, c - loc)])
+        w = ops.block_diag_weights([w1, w2])
+        b = ops.concat_biases([(p["conv1"].get("bias"), loc),
+                               (p["conv2"].get("bias"), c - loc)], w.dtype)
         both = ops.leaky_relu(ops.conv2d(x, w, b), SLOPE)
         c00, c10 = both[..., :loc], both[..., loc:]
     else:

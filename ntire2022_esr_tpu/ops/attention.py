@@ -54,12 +54,16 @@ def multi_head_attention(
     # matmul->softmax->matmul boundary — the dominant HBM traffic of the
     # window-attention models. config.attn_bf16 stores them in bf16 (the
     # converts fuse into the dot epilogue / softmax fusion); softmax still
-    # reduces in f32.
+    # reduces in f32. Only meaningful on f32 activations: in `fast` mode
+    # everything is already bf16 and the pre-knob pure-bf16 graph (the one
+    # the published fast-envelope numbers were measured on) is kept as-is.
     ab = config.attn_bf16(site)
-    if ab == "scores":
-        attn = attn.astype(jnp.bfloat16)
-    probs = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-    if ab in ("probs", "scores"):
+    if ab == "scores" and attn.dtype == jnp.float32:
+        # the f32 upcast fuses into the softmax, so the tensor that lives
+        # in HBM between the dot and the softmax is the bf16 one
+        attn = attn.astype(jnp.bfloat16).astype(jnp.float32)
+    probs = jax.nn.softmax(attn, axis=-1)
+    if ab in ("probs", "scores") and probs.dtype == jnp.float32:
         # bf16 probs x bf16 v on the MXU with f32 accumulation; HIGHEST/
         # HIGH multi-pass passes are meaningless on bf16 inputs.
         probs = probs.astype(jnp.bfloat16)

@@ -86,11 +86,8 @@ def parallel_conv_pair(p_1x1, p_kxk, x: jax.Array, dilation: int = 1):
     w1e = jnp.zeros(wk.shape[:3] + (d,), w1.dtype)
     w1e = w1e.at[kh // 2, kw // 2].set(w1[0, 0])
     w = jnp.concatenate([w1e, wk], axis=-1)
-    b1, bk = p_1x1.get("bias"), p_kxk.get("bias")
-    b = None
-    if b1 is not None or bk is not None:
-        z = lambda bb, n: bb if bb is not None else jnp.zeros((n,), w.dtype)
-        b = jnp.concatenate([z(b1, d), z(bk, int(wk.shape[-1]))])
+    b = _nn.concat_biases([(p_1x1.get("bias"), d),
+                           (p_kxk.get("bias"), int(wk.shape[-1]))], w.dtype)
     out = _nn.conv2d(x, w, b, dilation=dilation)
     return out[..., :d], out[..., d:]
 

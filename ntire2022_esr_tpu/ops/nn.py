@@ -19,6 +19,7 @@ from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ntire2022_esr_tpu import config
@@ -35,18 +36,47 @@ def _pair(v: IntOr2) -> Tuple[int, int]:
 # Convolution
 # ---------------------------------------------------------------------------
 
+def block_diag_weights(blocks):
+    """Assemble per-branch HWIO conv weights into ONE dense block-diagonal
+    weight: branch ``i`` reads its own slice of input channels and writes
+    its own slice of output channels; off-block weights are zero, so the
+    merged conv is exact. The single shared implementation behind the
+    grouped-conv densify (in-graph flag and load-time porter transform)
+    and the sibling branch-pair fusions. Accepts np arrays (host/porter
+    path) or jnp/traced arrays (in-graph path)."""
+    kh, kw = int(blocks[0].shape[0]), int(blocks[0].shape[1])
+    cin = sum(int(w.shape[2]) for w in blocks)
+    cout = sum(int(w.shape[3]) for w in blocks)
+    host = all(isinstance(w, np.ndarray) for w in blocks)
+    dense = (np if host else jnp).zeros((kh, kw, cin, cout), blocks[0].dtype)
+    ci = co = 0
+    for w in blocks:
+        ni, no = ci + int(w.shape[2]), co + int(w.shape[3])
+        if host:
+            dense[:, :, ci:ni, co:no] = w
+        else:
+            dense = dense.at[:, :, ci:ni, co:no].set(w)
+        ci, co = ni, no
+    return dense
+
+
+def concat_biases(pairs, dtype):
+    """Concatenate per-branch conv biases for a merged conv, zero-filling
+    branches without one. ``pairs``: [(bias_or_None, out_width), ...];
+    returns None when no branch has a bias."""
+    if all(b is None for b, _ in pairs):
+        return None
+    return jnp.concatenate([b if b is not None else jnp.zeros((n,), dtype)
+                            for b, n in pairs])
+
+
 def _block_diag_dense(w: jax.Array, groups: int) -> jax.Array:
     """Expand grouped-conv HWIO weights (kh, kw, cin/g, cout) to the exact
     dense block-diagonal form (kh, kw, cin, cout); group ``gi`` contributes
     only to output channels [gi*cout/g, (gi+1)*cout/g)."""
-    kh, kw, cin_g, cout = w.shape
-    cout_g = cout // groups
-    dense = jnp.zeros((kh, kw, cin_g * groups, cout), w.dtype)
-    for gi in range(groups):
-        dense = dense.at[:, :, gi * cin_g:(gi + 1) * cin_g,
-                         gi * cout_g:(gi + 1) * cout_g].set(
-            w[:, :, :, gi * cout_g:(gi + 1) * cout_g])
-    return dense
+    cout_g = int(w.shape[3]) // groups
+    return block_diag_weights(
+        [w[:, :, :, gi * cout_g:(gi + 1) * cout_g] for gi in range(groups)])
 
 
 def conv2d(

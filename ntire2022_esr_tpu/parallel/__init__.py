@@ -4,6 +4,7 @@ from ntire2022_esr_tpu.parallel.eval import (  # noqa: F401
     sharded_eval_step,
 )
 from ntire2022_esr_tpu.parallel.spatial import (  # noqa: F401
+    SpatialShardUnavailable,
     make_spatial_apply,
     spatial_shard_apply,
 )

@@ -25,6 +25,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 
+class SpatialShardUnavailable(ValueError):
+    """The input cannot be H-sharded over this mesh (image too small for
+    the window scheme). A ValueError subclass so callers that want a
+    single-device fallback can catch *exactly* this condition without
+    swallowing genuine errors raised inside the sharded forward."""
+
+
 def make_spatial_apply(
     apply: Callable,
     mesh: Mesh,
@@ -134,7 +141,7 @@ def make_spatial_apply(
             return jitted(params, xs)
         s = -(-h // n_dev)
         if s + 2 * overlap > h:
-            raise ValueError(
+            raise SpatialShardUnavailable(
                 f"H={h} too small to shard over {n_dev} devices with overlap "
                 f"{overlap} (window {s + 2 * overlap} rows exceeds the image)")
         xr = jax.device_put(x, NamedSharding(mesh, P()))

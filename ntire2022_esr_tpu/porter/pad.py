@@ -85,15 +85,13 @@ def densify_grouped_weights(params, groups: int, key_pred, _path: Tuple[str, ...
         return params
     if ("weight" in params and getattr(params["weight"], "ndim", 0) == 4
             and key_pred(_path)):
+        from ntire2022_esr_tpu.ops.nn import block_diag_weights
+
         w = np.asarray(params["weight"])
-        kh, kw, cin_g, cout = w.shape
-        cout_g = cout // groups
-        dense = np.zeros((kh, kw, cin_g * groups, cout), w.dtype)
-        for gi in range(groups):
-            dense[:, :, gi * cin_g:(gi + 1) * cin_g,
-                  gi * cout_g:(gi + 1) * cout_g] = w[:, :, :, gi * cout_g:(gi + 1) * cout_g]
+        cout_g = w.shape[3] // groups
         out = dict(params)
-        out["weight"] = dense
+        out["weight"] = block_diag_weights(
+            [w[:, :, :, gi * cout_g:(gi + 1) * cout_g] for gi in range(groups)])
         return out
     return {k: densify_grouped_weights(v, groups, key_pred, _path + (str(k),))
             for k, v in params.items()}

@@ -28,6 +28,14 @@ def test_bench_json_contract():
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in rec
     assert rec["value"] > 0 and rec["unit"] == "images/sec"
+    # full-zoo aggregates from the recorded on-chip artifacts: _zoo_summary
+    # degrades silently on error, so assert the fields actually appear (the
+    # artifacts are checked in under results/protocol/)
+    for key in ("zoo_sustained_geomean_vs_baseline",
+                "zoo_sustained_min_vs_baseline", "zoo_models",
+                "zoo_fast_geomean_vs_baseline", "zoo_fast_min_vs_baseline"):
+        assert key in rec, f"missing {key}: {rec}"
+        assert rec[key] > 0
 
 
 def test_sweep_zoo_sustained_smoke(tmp_path):

@@ -181,6 +181,27 @@ def test_device_timer_and_fence():
     assert med > 0 and len(times) == 3
 
 
+def test_chain_timer():
+    """Canonical chain-method timer: returns positive median seconds and
+    retraces monkeypatched internals (fresh jit closure per call)."""
+    import jax.numpy as jnp
+    from ntire2022_esr_tpu.harness import profiling
+
+    calls = []
+
+    def apply(p, x):
+        calls.append(1)
+        return x * p["s"]
+
+    p = {"s": jnp.float32(2.0)}
+    x = jnp.ones((2, 8, 8, 3), jnp.float32)
+    sec = profiling.chain_timer(apply, p, x, reps=3, iters=2)
+    assert sec > 0
+    n_first = len(calls)
+    sec2 = profiling.chain_timer(apply, p, x, reps=3, iters=2)
+    assert sec2 > 0 and len(calls) > n_first  # fresh trace per call
+
+
 def test_orbax_roundtrip(tmp_path):
     from ntire2022_esr_tpu import porter
 

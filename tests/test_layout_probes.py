@@ -80,10 +80,15 @@ def test_densify_skips_depthwise(rng):
 
 
 def test_densify_grouped_zoo_model_exact(rng):
-    """IMDTN (grouped convs, groups=4) end to end under the flag."""
+    """IMDTN (grouped convs, groups=4) end to end under the flag.
+
+    Built with apply_load_transform=False: the zoo ships IMDTN with a
+    load-time densify, so the default build would make both arms dense
+    and the flag-flip vacuous."""
     from ntire2022_esr_tpu.harness import registry
 
-    apply, params, name, dr, tile = registry.build_model(9)
+    apply, params, name, dr, tile = registry.build_model(
+        9, apply_load_transform=False)
     x = jnp.asarray(rng.rand(1, 18, 12, 3).astype(np.float32) * dr)
     # NB fresh lambdas per call: jax's trace cache is shared across
     # jax.jit(f) wrappers of the SAME f, and the config flag is invisible
@@ -96,6 +101,11 @@ def test_densify_grouped_zoo_model_exact(rng):
     finally:
         config.set_densify_grouped(False)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # the SHIPPED path (load-time densify via the spec's load_transform)
+    # must also match the stock grouped graph
+    _, dparams, *_ = registry.build_model(9)
+    dout = np.asarray(jax.jit(lambda p, v: apply(p, v))(dparams, x))
+    np.testing.assert_allclose(dout, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_nearest2_conv_exact_vs_torch(rng):
@@ -278,6 +288,25 @@ def test_attn_bf16_close_and_gated(rng):
         assert config.attn_bf16("hnct") == "scores"
         assert config.attn_bf16("imdtn") == "off"
         assert config.attn_bf16("mha") == "off"
+
+
+def test_attn_bf16_noop_on_bf16_activations(rng):
+    """In `fast` mode activations are already bf16: the score-storage knob
+    must not upcast anything — the pre-knob pure-bf16 attention graph (the
+    one the published fast-envelope numbers were measured on) stays, and
+    the output dtype remains bf16 for every knob setting."""
+    from ntire2022_esr_tpu.ops import attention
+
+    q = jnp.asarray(rng.rand(2, 16, 8).astype(np.float32)).astype(jnp.bfloat16)
+    with config.numerics_mode("fast"):
+        for variant in (None, "off", "probs", "scores"):
+            config.set_attn_bf16(variant)
+            try:
+                out = attention.multi_head_attention(q, q, q, num_heads=2,
+                                                     site="mobilesr")
+            finally:
+                config.set_attn_bf16(None)
+            assert out.dtype == jnp.bfloat16, (variant, out.dtype)
 
 
 @pytest.mark.parametrize("model_id", [33, 27, 28, 20])

@@ -27,30 +27,16 @@ sys.path.insert(0, REPO)
 
 
 def measure_chain(apply, params, batch, size, data_range, reps, iters):
+    """ms/img via the canonical chain-method timer (harness.profiling)."""
     import jax
     import jax.numpy as jnp
 
-    from ntire2022_esr_tpu.harness.profiling import fence
+    from ntire2022_esr_tpu.harness.profiling import chain_timer
 
     params = jax.device_put(params)
-
-    def step(p, a, i):
-        y = apply(p, a * (1.0 + 1e-6 * i))
-        return jnp.sum(y)
-
-    jitted = jax.jit(step)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32) * data_range)
-    fence(jitted(params, x, jnp.float32(0.0)))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        acc = None
-        for r in range(reps):
-            acc = jitted(params, x, jnp.float32(r))
-        fence(acc)
-        times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2] * 1e3 / reps / batch
+    return chain_timer(apply, params, x, reps, iters) * 1e3 / reps / batch
 
 
 def main(argv=None):
@@ -94,7 +80,11 @@ def main(argv=None):
     for key, mid in (("dense9", 9), ("dense27", 27)):
         if key not in probes:
             continue
-        apply, params, name, dr, _ = registry.build_model(mid)
+        # stock arm must bypass any load-time densify the zoo ships by
+        # default (IMDTN registers _densify_imdtn as load_transform —
+        # without this both arms would measure the identical dense graph)
+        apply, params, name, dr, _ = registry.build_model(
+            mid, apply_load_transform=False)
         config.set_densify_grouped(False)
         stock = measure_chain(apply, params, args.batch, args.size, dr,
                               args.reps, args.iters)

@@ -36,7 +36,7 @@ def main(argv=None):
 
     from ntire2022_esr_tpu import config
     from ntire2022_esr_tpu.harness import registry
-    from ntire2022_esr_tpu.harness.profiling import fence
+    from ntire2022_esr_tpu.harness.profiling import chain_timer
     from ntire2022_esr_tpu.models import mobilesr
 
     config.set_mode(args.mode)
@@ -46,20 +46,12 @@ def main(argv=None):
     x = jnp.asarray(rng.rand(args.batch, args.size, args.size, 3).astype(np.float32) * dr)
 
     def timed(tag):
-        def step(p, a, i):
-            return jnp.sum(mobilesr.mobilesr_apply(p, a * (1.0 + 1e-6 * i)))
-
-        jitted = jax.jit(step)
-        fence(jitted(params, x, jnp.float32(0.0)))
-        ts = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            acc = None
-            for r in range(args.reps):
-                acc = jitted(params, x, jnp.float32(r))
-            fence(acc)
-            ts.append(time.perf_counter() - t0)
-        ms = sorted(ts)[len(ts) // 2] * 1e3 / args.reps / args.batch
+        # lambda defers to the module attr so the tool's monkeypatched
+        # components take effect at trace time; chain_timer jits a fresh
+        # closure per call, so each ablation retraces
+        sec = chain_timer(lambda p, a: mobilesr.mobilesr_apply(p, a),
+                          params, x, args.reps, args.iters)
+        ms = sec * 1e3 / args.reps / args.batch
         print(f"{tag}: {ms:.2f} ms/img", flush=True)
         return ms
 

@@ -39,7 +39,7 @@ def main(argv=None):
 
     from ntire2022_esr_tpu import config
     from ntire2022_esr_tpu.harness import registry
-    from ntire2022_esr_tpu.harness.profiling import fence
+    from ntire2022_esr_tpu.harness.profiling import chain_timer
     from ntire2022_esr_tpu.models import nlffc
 
     config.set_mode(args.mode)
@@ -49,20 +49,10 @@ def main(argv=None):
     x = jnp.asarray(rng.rand(1, args.size, args.size, 3).astype(np.float32) * dr)
 
     def timed(tag, fn):
-        def step(p, a, i):
-            return jnp.sum(fn(p, a * (1.0 + 1e-6 * i)))
-
-        jitted = jax.jit(step)
-        fence(jitted(params, x, jnp.float32(0.0)))
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            acc = None
-            for r in range(args.reps):
-                acc = jitted(params, x, jnp.float32(r))
-            fence(acc)
-            times.append(time.perf_counter() - t0)
-        ms = sorted(times)[len(times) // 2] * 1e3 / args.reps
+        # chain_timer jits a fresh closure per call, so monkeypatched
+        # nlffc components retrace correctly (canonical chain timing,
+        # harness.profiling)
+        ms = chain_timer(fn, params, x, args.reps, args.iters) * 1e3 / args.reps
         print(f"{tag}: {ms:.1f} ms", flush=True)
         return ms
 

@@ -49,10 +49,24 @@ def main(argv=None):
     base = json.load(open(args.base))
     upd = json.load(open(args.update)) if os.path.exists(args.update) else {}
     for name, row in upd.items():
-        # take the update only when it improves on the recorded number —
-        # both are honest sustained measurements; the artifact keeps the
-        # best methodology per model (method/batch recorded per row)
-        if name not in base or row["ms_per_image_sustained"] < base[name]["ms_per_image_sustained"]:
+        if name in base:
+            # refuse to mix methodologies: a faster number measured under a
+            # different numerics mode or input size is not comparable to the
+            # canonical row and must not silently replace it
+            for key in ("mode", "size"):
+                bv, uv = base[name].get(key), row.get(key)
+                if bv is not None and uv is not None and bv != uv:
+                    print(f"SKIP {name}: update {key}={uv!r} != base {bv!r} "
+                          f"(methodology mismatch)", file=sys.stderr)
+                    break
+            else:
+                # take the update only when it improves on the recorded
+                # number — both are honest sustained measurements; the
+                # artifact keeps the best dispatch method per model
+                # (method/batch recorded per row)
+                if row["ms_per_image_sustained"] < base[name]["ms_per_image_sustained"]:
+                    base[name] = row
+        else:
             base[name] = row
 
     rows = []

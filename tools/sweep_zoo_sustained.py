@@ -60,7 +60,7 @@ def main(argv=None):
 
     from ntire2022_esr_tpu import config
     from ntire2022_esr_tpu.harness import registry
-    from ntire2022_esr_tpu.harness.profiling import fence
+    from ntire2022_esr_tpu.harness.profiling import chain_timer, fence
 
     config.set_mode(args.mode)
     ids = args.ids or registry.available_ids()
@@ -108,26 +108,13 @@ def main(argv=None):
                     times.append(time.perf_counter() - t0)
                 return sorted(times)[len(times) // 2]
         else:
-            def step(p, a, i):
-                y = apply(p, a * (1.0 + 1e-6 * i))
-                return jnp.sum(y)
-
-            jitted = jax.jit(step)
-
-            def measure(x):
-                fence(jitted(params, x, jnp.float32(0.0)))  # compile + warm
-                times = []
-                for _ in range(args.iters):
-                    t0 = time.perf_counter()
-                    acc = None
-                    for r in range(args.reps):
-                        acc = jitted(params, x, jnp.float32(r))
-                    fence(acc)
-                    times.append(time.perf_counter() - t0)
-                return sorted(times)[len(times) // 2]
+            # canonical chain-method timing (harness.profiling.chain_timer)
+            def measure(x, apply=apply, params=params):
+                return chain_timer(apply, params, x, args.reps, args.iters)
 
         batch = args.batch or SMALL_BATCH.get(mid, 32)
         med = None
+        same_batch_retries = 0
         while batch >= 1:
             x = jnp.asarray(
                 rng.rand(batch, args.size, args.size, 3).astype(np.float32) * data_range)
@@ -144,13 +131,25 @@ def main(argv=None):
                 retryable = ("RESOURCE_EXHAUSTED" in str(e)
                              or "remote_compile" in str(e)
                              or "HTTP 500" in str(e))
-                if retryable and batch > 1:
+                if retryable:
                     why = ("OOM" if "RESOURCE_EXHAUSTED" in str(e)
                            else "compile-500")
-                    print(f"[{mid}] {name}: batch {batch} {why}; retrying "
-                          f"batch {batch // 2}", file=sys.stderr, flush=True)
-                    batch //= 2
-                    continue
+                    # a 500 can also be a transient helper/service blip:
+                    # retry ONCE at the same batch before concluding it is
+                    # the executable-size ceiling (a transient halving
+                    # would publish a permanently degraded number)
+                    if why == "compile-500" and same_batch_retries == 0:
+                        same_batch_retries = 1
+                        print(f"[{mid}] {name}: batch {batch} compile-500; "
+                              f"retrying same batch once",
+                              file=sys.stderr, flush=True)
+                        continue
+                    if batch > 1:
+                        same_batch_retries = 0
+                        print(f"[{mid}] {name}: batch {batch} {why}; retrying "
+                              f"batch {batch // 2}", file=sys.stderr, flush=True)
+                        batch //= 2
+                        continue
                 print(f"[{mid}] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
                 break
             finally:

@@ -56,20 +56,32 @@ def main(argv=None):
         spec = registry.get_spec(mid)
         params = registry.load_params(spec)
 
+        # snapshot any process-level forcing (NTIRE_ATTN_BF16 /
+        # NTIRE_HR_TAIL_BF16 or setters) so it is honored under 'auto'
+        # and restored after each mode — resetting to None here would
+        # silently drop an env opt-in after the first model
+        prev_attn = config.attn_bf16_override()
+        prev_tail = config.hr_tail_bf16_override()
+
         outs = {}
         for mode in ("parity", "high", "mixed", "fast"):
             config.set_mode(mode)
-            if args.attn != "auto":
-                config.set_attn_bf16("off" if mode == "parity" else args.attn)
-            if args.tail != "auto":
+            if mode == "parity":
+                # the parity arm is always the strict reference graph,
+                # even when a forced env/CLI variant is in effect
+                config.set_attn_bf16("off")
+                config.set_hr_tail_bf16(False)
+            else:
+                config.set_attn_bf16(
+                    prev_attn if args.attn == "auto" else args.attn)
                 config.set_hr_tail_bf16(
-                    False if mode == "parity" else args.tail == "on")
+                    prev_tail if args.tail == "auto" else args.tail == "on")
             try:
                 f = jax.jit(lambda p, a: spec.apply(p, a))
                 y = np.asarray(f(params, x), dtype=np.float32)
             finally:
-                config.set_attn_bf16(None)
-                config.set_hr_tail_bf16(None)
+                config.set_attn_bf16(prev_attn)
+                config.set_hr_tail_bf16(prev_tail)
             outs[mode] = np.round(np.clip(y, 0, dr) * (255.0 / dr))
 
         def psnr(a, b):
