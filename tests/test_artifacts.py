@@ -1,0 +1,60 @@
+"""Integrity of the recorded on-chip artifacts under results/protocol/.
+
+The headline claims (STATUS.md, docs/RUNTIME_TPU.md) and bench.py's
+zoo-aggregate fields are recomputed from these files; a truncated or
+hand-mangled artifact would silently skew published numbers. Pure host
+checks — no device work.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PROTO = os.path.join(REPO, "results", "protocol")
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def _load(name):
+    return json.load(open(os.path.join(PROTO, name)))
+
+
+@pytest.mark.parametrize("fname,mode", [
+    ("zoo_sustained.json", "high"),
+    ("zoo_sustained_fast_r3.json", "fast"),
+])
+def test_sustained_artifact_covers_full_zoo(fname, mode):
+    from ntire2022_esr_tpu.harness import registry
+
+    art = _load(fname)
+    ids = {row["model_id"] for row in art.values()}
+    assert ids == set(registry.available_ids()), (
+        f"{fname} does not cover the registered zoo")
+    for name, row in art.items():
+        assert row["ms_per_image_sustained"] > 0, name
+        assert row["mode"] == mode, (name, row["mode"])
+        assert row["batch"] >= 1, name
+
+
+def test_sustained_matches_titan_table():
+    """Every artifact row maps to a Titan Xp baseline row (merge_sustained
+    aggregates silently drop unmatched names)."""
+    from merge_sustained import TITAN_MS
+
+    for fname in ("zoo_sustained.json", "zoo_sustained_fast_r3.json"):
+        art = _load(fname)
+        missing = [n for n in art if n not in TITAN_MS]
+        assert not missing, (fname, missing)
+
+
+def test_roofline_rows_are_physical():
+    """measured >= bytes speed-of-light (sol_ratio >= 1): a sub-1 ratio
+    means the cost-analysis bytes or the measurement regressed."""
+    art = _load("roofline_r3.json")
+    assert len(art) >= 10
+    for name, row in art.items():
+        assert row["sol_ratio"] >= 0.99, (name, row["sol_ratio"])
+        assert row["measured_ms_per_img"] > 0, name
+        assert row["bound"] in ("hbm", "mxu"), name
