@@ -70,6 +70,20 @@ _MODES = {
         conv_precision=jax.lax.Precision.DEFAULT,
         matmul_precision=jax.lax.Precision.DEFAULT,
     ),
+    # f16 end-to-end: the same 2-byte HBM traffic as `fast` but with 10
+    # mantissa bits instead of 7 (~18 dB better storage agreement). The
+    # MXU has no native f16 path, so the multiplies are upcast — HIGH
+    # keeps them at bf16x3 (f32-grade) so the tier's error is the f16
+    # STORAGE rounding, not a 1-pass bf16 multiply (which would erase the
+    # mantissa advantage). On the HBM-bound graphs this tier targets
+    # (x4-resolution tails) the extra passes are hidden behind the bytes.
+    # Used by the HR-tail f16 scope; selectable as a full mode for A/B.
+    "fast16": Numerics(
+        compute_dtype=jnp.float16,
+        param_dtype=jnp.float16,
+        conv_precision=jax.lax.Precision.HIGH,
+        matmul_precision=jax.lax.Precision.HIGH,
+    ),
 }
 
 _active = _MODES["parity"]
@@ -213,28 +227,37 @@ def set_scan_blocks(value: "bool | None") -> None:
 #              extra convert kernel) — kept for A/B only.
 #   "scores" — logits AND probs bf16: on-chip wins 13.4% on MobileSR,
 #              16.2% on HNCT, 6.1% on IMDTN (layout_probes_r3.json).
-# AUTO is per-site like the other graph transforms: "scores" outside
-# parity for the sites whose measured between-mode PSNR stays at/above the
-# zoo-wide high-mode floor of 68.5 dB (mobilesr 68.9, hnct 77.0); imdtn
-# (66.7 dB) stays opt-in. NTIRE_ATTN_BF16=off|probs|scores or
+#   "scores_f16" — logits AND probs f16: identical bytes, 3 more mantissa
+#              bits (for sites whose bf16 between-mode PSNR misses the
+#              68.5 dB AUTO floor); the probs x v dot runs on f16 inputs
+#              (XLA upcasts — no native f16 MXU pass).
+# AUTO is per-site like the other graph transforms: the measured-best
+# variant outside parity for the sites whose between-mode PSNR stays
+# at/above the zoo-wide high-mode floor of 68.5 dB (mobilesr 68.9,
+# hnct 77.0 with "scores"); imdtn (66.7 dB bf16) stays opt-in pending the
+# f16 measurement. NTIRE_ATTN_BF16=off|probs|scores|scores_f16 or
 # set_attn_bf16(str) forces all sites; None/unset = AUTO.
 
-_attn_bf16: "str | None" = os.environ.get("NTIRE_ATTN_BF16") or None
+_ATTN_VALUES = ("off", "probs", "scores", "scores_f16")
 
-_ATTN_BF16_AUTO_SITES = frozenset({"mobilesr", "hnct"})
+_attn_bf16: "str | None" = os.environ.get("NTIRE_ATTN_BF16") or None
+if _attn_bf16 is not None and _attn_bf16 not in _ATTN_VALUES:
+    raise ValueError(f"NTIRE_ATTN_BF16 must be one of {_ATTN_VALUES}, got {_attn_bf16!r}")
+
+_ATTN_BF16_AUTO_SITES: "dict[str, str]" = {"mobilesr": "scores", "hnct": "scores"}
 
 
 def attn_bf16(site: str = "mha") -> str:
     if _attn_bf16 is None:
-        if _active_name != "parity" and site in _ATTN_BF16_AUTO_SITES:
-            return "scores"
+        if _active_name != "parity":
+            return _ATTN_BF16_AUTO_SITES.get(site, "off")
         return "off"
     return _attn_bf16
 
 
 def set_attn_bf16(value: "str | None") -> None:
-    if value is not None and value not in ("off", "probs", "scores"):
-        raise ValueError(f"attn_bf16 must be off|probs|scores|None, got {value!r}")
+    if value is not None and value not in _ATTN_VALUES:
+        raise ValueError(f"attn_bf16 must be one of {_ATTN_VALUES} or None, got {value!r}")
     global _attn_bf16
     _attn_bf16 = value
 
@@ -246,49 +269,91 @@ def attn_bf16_override() -> "str | None":
     return _attn_bf16
 
 
-# HR-tail bf16: run a model's full-resolution tail (the x4-upsampled convs
-# that dominate the HBM-bound models' time in f32 modes) under fast-mode
-# numerics while the body keeps the active mode. Scoped at trace time via
-# hr_tail_scope() around the tail section; the model casts the result back
-# to f32. Opt-in (NTIRE_HR_TAIL_BF16=1 / set_hr_tail_bf16) — the measured
-# PSNR cost sits between `high` and `fast` per model (probe ledger);
-# AUTO stays off at every site pending a >=68.5 dB measurement.
+# HR-tail reduced-precision storage: run a model's full-resolution tail
+# (the x4-upsampled convs that dominate the HBM-bound models' time in f32
+# modes) under a 2-byte numerics tier while the body keeps the active
+# mode. Scoped at trace time via hr_tail_scope() around the tail section;
+# the model casts the result back to f32. Two tiers:
+#   "bf16" — fast-mode numerics for the tail (measured -15..-37% ms/img,
+#            55-65 dB between-mode: mixed-tier quality, below the 68.5 dB
+#            AUTO floor -> opt-in only).
+#   "f16"  — fast16-mode: identical bytes, 3 more mantissa bits.
+# Force with NTIRE_HR_TAIL=off|bf16|f16 (or the legacy NTIRE_HR_TAIL_BF16=
+# 0/1) / set_hr_tail(); unset = AUTO per site.
 
-_hr_tail_bf16: "bool | None" = (
-    None if "NTIRE_HR_TAIL_BF16" not in os.environ
-    else os.environ["NTIRE_HR_TAIL_BF16"] == "1")
-
-_HR_TAIL_AUTO_SITES = frozenset()
+_HR_TAIL_VALUES = ("off", "bf16", "f16")
 
 
+def _hr_tail_from_env() -> "str | None":
+    v = os.environ.get("NTIRE_HR_TAIL")
+    if v is not None:
+        if v not in _HR_TAIL_VALUES:
+            raise ValueError(f"NTIRE_HR_TAIL must be one of {_HR_TAIL_VALUES}, got {v!r}")
+        return v
+    legacy = os.environ.get("NTIRE_HR_TAIL_BF16")
+    if legacy is not None:
+        return "bf16" if legacy == "1" else "off"
+    return None
+
+
+_hr_tail: "str | None" = _hr_tail_from_env()
+
+# site -> tier enabled by AUTO outside parity mode (filled per on-chip
+# quality measurement: a site enters only at >= 68.5 dB between-mode).
+_HR_TAIL_AUTO_SITES: "dict[str, str]" = {}
+
+
+def hr_tail(site: str) -> str:
+    """Active HR-tail tier for ``site``: "off", "bf16" or "f16"."""
+    if _hr_tail is None:
+        if _active_name == "parity":
+            return "off"
+        return _HR_TAIL_AUTO_SITES.get(site, "off")
+    return _hr_tail
+
+
+def set_hr_tail(value: "str | bool | None") -> None:
+    """Force the HR-tail tier for all sites; None restores AUTO.
+    Accepts the legacy booleans (True = "bf16", False = "off")."""
+    global _hr_tail
+    if isinstance(value, bool):
+        value = "bf16" if value else "off"
+    if value is not None and value not in _HR_TAIL_VALUES:
+        raise ValueError(f"hr_tail must be one of {_HR_TAIL_VALUES} or None, got {value!r}")
+    _hr_tail = value
+
+
+def hr_tail_override() -> "str | None":
+    """Raw forced value (env/setter), None when AUTO (see attn_bf16_override)."""
+    return _hr_tail
+
+
+# Legacy boolean API (pre-f16); kept for existing tools/tests.
 def hr_tail_bf16(site: str) -> bool:
-    if _hr_tail_bf16 is None:
-        return _active_name != "parity" and site in _HR_TAIL_AUTO_SITES
-    return _hr_tail_bf16
+    return hr_tail(site) == "bf16"
 
 
 def set_hr_tail_bf16(value: "bool | None") -> None:
-    global _hr_tail_bf16
-    _hr_tail_bf16 = value if value is None else bool(value)
+    set_hr_tail(value)
 
 
-def hr_tail_bf16_override() -> "bool | None":
-    """Raw forced value (env/setter), None when AUTO (see attn_bf16_override)."""
-    return _hr_tail_bf16
+_HR_TAIL_MODE = {"bf16": "fast", "f16": "fast16"}
 
 
 @contextmanager
 def hr_tail_scope(site: str):
-    """Trace-time scope: fast-mode numerics for a model's HR tail when
-    hr_tail_bf16(site) is on, otherwise a no-op. Restores the active mode
-    (name included) on exit; callers cast the scope's result back to f32."""
-    if not hr_tail_bf16(site):
-        yield False
+    """Trace-time scope: 2-byte-tier numerics for a model's HR tail when
+    hr_tail(site) is on, otherwise a no-op. Yields the active tier name
+    ("" when off — falsy, so callers can gate the f32 cast-back on it);
+    restores the active mode (name included) on exit."""
+    tier = hr_tail(site)
+    if tier == "off":
+        yield ""
         return
     prev = mode()
-    set_mode("fast")
+    set_mode(_HR_TAIL_MODE[tier])
     try:
-        yield True
+        yield tier
     finally:
         set_mode(prev)
 

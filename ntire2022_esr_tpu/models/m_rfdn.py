@@ -60,9 +60,12 @@ def m_rfdn_apply(params, x, *, num_modules: int = 4):
         h = ops.leaky_relu(ops.conv(params["HRconv1"], h), 0.2)
         h = upconv_nearest2(params["upconv2"], h)
         h = ops.leaky_relu(pa(params["att2"], h), 0.2)
-        h = ops.leaky_relu(ops.conv(params["HRconv2"], h), 0.2)
-        return ops.conv(params["conv_last"], h)
+        return ops.leaky_relu(ops.conv(params["HRconv2"], h), 0.2)
 
-    with config.hr_tail_scope("m_rfdn") as bf16_tail:
-        out = tail(h)
-    return out.astype(jnp.float32) if bf16_tail else out
+    # conv_last stays OUTSIDE the reduced-precision scope: its input (the
+    # dominant HR buffer) keeps the 2-byte tier, but the image it produces
+    # is computed and stored at the active mode's precision — one fewer
+    # rounding on the output pixels for ~1/17 of the tail's bytes.
+    with config.hr_tail_scope("m_rfdn"):
+        h = tail(h)
+    return ops.conv(params["conv_last"], h)

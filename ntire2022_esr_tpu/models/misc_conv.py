@@ -185,9 +185,10 @@ def lwfanet_apply(params, x, *, num_block: int = 10, slope: float = 0.2):
 
     feat = feat + ops.conv(params["conv_body"], h)
     feat = ops.conv(params["conv_L"], feat, padding=0)
-    with config.hr_tail_scope("lwfanet") as bf16_tail:
+    # conv_last stays OUTSIDE the reduced-precision scope (see m_rfdn.py):
+    # its input keeps the 2-byte tier, the output pixels keep full precision
+    with config.hr_tail_scope("lwfanet"):
         feat2 = ops.leaky_relu(upconv_nearest2(params["conv_up1"], feat), slope)
         feat2 = ops.leaky_relu(upconv_nearest2(params["conv_up2"], feat2), slope)
-        out = ops.conv(params["conv_last"],
-                       ops.leaky_relu(ops.conv(params["conv_hr"], feat2), slope))
-    return out.astype(jnp.float32) if bf16_tail else out
+        feat2 = ops.leaky_relu(ops.conv(params["conv_hr"], feat2), slope)
+    return ops.conv(params["conv_last"], feat2)

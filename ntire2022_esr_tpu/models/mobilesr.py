@@ -69,11 +69,13 @@ def mobilesr_apply(params, x, *, n_blocks: int = 5, num_heads: int = 8, upscale:
             h = pair(p, h)
     h = ops.conv(params["fuse"], jnp.concatenate([x0, h], axis=-1))
     up = params["upsapling"]
-    with config.hr_tail_scope("mobilesr") as bf16_tail:
+    # the tail conv stays OUTSIDE the reduced-precision scope (see
+    # m_rfdn.py): its input keeps the 2-byte tier, the output pixels keep
+    # full precision
+    with config.hr_tail_scope("mobilesr"):
         h2 = ops.pixel_shuffle(ops.conv(blocks.seq(up, 0), h, padding=0), 2)
         h2 = ops.pixel_shuffle(ops.conv(blocks.seq(up, 2), h2, padding=0), 2)
-        h2 = ops.conv(params["tail"], ops.leaky_relu(h2, 0.2))
-    if bf16_tail:
-        h2 = h2.astype(jnp.float32)
+        h2 = ops.leaky_relu(h2, 0.2)
+    h2 = ops.conv(params["tail"], h2)
     # the global bilinear residual stays f32: it carries the base image
     return h2 + ops.interpolate(x, scale_factor=upscale, mode="bilinear")

@@ -53,11 +53,12 @@ def nasnetbn_apply(params, x, *, arch_list=ARCH_LIST, upscale: int = 4, slope: f
             h = _res_bn(p, h)
         else:
             h = _res_leaky_bn(p, h)
-    with config.hr_tail_scope("nasnetbn") as bf16_tail:
+    # conv_last stays OUTSIDE the reduced-precision scope (see m_rfdn.py):
+    # its input keeps the 2-byte tier, the output pixels keep full precision
+    with config.hr_tail_scope("nasnetbn"):
         h2 = ops.leaky_relu(ops.pixel_shuffle(ops.conv(params["upconv1"], h), 2), slope)
         h2 = ops.leaky_relu(ops.pixel_shuffle(ops.conv(params["upconv2"], h2), 2), slope)
-        out = ops.conv(params["conv_last"], ops.leaky_relu(ops.conv(params["HRconv"], h2), slope))
-    if bf16_tail:
-        out = out.astype(jnp.float32)
+        h2 = ops.leaky_relu(ops.conv(params["HRconv"], h2), slope)
+    out = ops.conv(params["conv_last"], h2)
     # the global bilinear residual stays f32: it carries the base image
     return out + ops.interpolate(x, scale_factor=upscale, mode="bilinear")

@@ -58,16 +58,18 @@ def multi_head_attention(
     # everything is already bf16 and the pre-knob pure-bf16 graph (the one
     # the published fast-envelope numbers were measured on) is kept as-is.
     ab = config.attn_bf16(site)
-    if ab == "scores" and attn.dtype == jnp.float32:
+    store = jnp.float16 if ab == "scores_f16" else jnp.bfloat16
+    if ab in ("scores", "scores_f16") and attn.dtype == jnp.float32:
         # the f32 upcast fuses into the softmax, so the tensor that lives
-        # in HBM between the dot and the softmax is the bf16 one
-        attn = attn.astype(jnp.bfloat16).astype(jnp.float32)
+        # in HBM between the dot and the softmax is the 2-byte one
+        attn = attn.astype(store).astype(jnp.float32)
     probs = jax.nn.softmax(attn, axis=-1)
-    if ab in ("probs", "scores") and probs.dtype == jnp.float32:
-        # bf16 probs x bf16 v on the MXU with f32 accumulation; HIGHEST/
-        # HIGH multi-pass passes are meaningless on bf16 inputs.
-        probs = probs.astype(jnp.bfloat16)
-        out = jnp.einsum("bhnm,bhmd->bhnd", probs, vh.astype(jnp.bfloat16),
+    if ab in ("probs", "scores", "scores_f16") and probs.dtype == jnp.float32:
+        # 2-byte probs x 2-byte v with f32 accumulation. bf16 rides the
+        # MXU natively; f16 is upcast by XLA (3 more mantissa bits for the
+        # same HBM bytes). HIGHEST/HIGH multi-pass is meaningless here.
+        probs = probs.astype(store)
+        out = jnp.einsum("bhnm,bhmd->bhnd", probs, vh.astype(store),
                          precision=jax.lax.Precision.DEFAULT,
                          preferred_element_type=jnp.float32)
     else:

@@ -266,7 +266,7 @@ def test_attn_bf16_close_and_gated(rng):
     x = jnp.asarray(rng.rand(1, 24, 20, 3).astype(np.float32) * dr)
     ref = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
     outs = {}
-    for variant in ("probs", "scores"):
+    for variant in ("probs", "scores", "scores_f16"):
         config.set_attn_bf16(variant)
         try:
             outs[variant] = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
@@ -277,6 +277,10 @@ def test_attn_bf16_close_and_gated(rng):
     np.testing.assert_allclose(outs["probs"], ref, atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(outs["scores"], ref, atol=8e-3, rtol=5e-3)
     assert np.abs(outs["probs"] - ref).max() > 0  # the flag actually retraced
+    # f16 storage: same bytes, 3 more mantissa bits -> strictly closer
+    err_bf16 = np.sqrt(np.mean((outs["scores"] - ref) ** 2))
+    err_f16 = np.sqrt(np.mean((outs["scores_f16"] - ref) ** 2))
+    assert 0 < err_f16 < err_bf16, (err_f16, err_bf16)
     with pytest.raises(ValueError):
         config.set_attn_bf16("bogus")
     # AUTO gate: "scores" outside parity at the measured-win sites only
@@ -299,7 +303,7 @@ def test_attn_bf16_noop_on_bf16_activations(rng):
 
     q = jnp.asarray(rng.rand(2, 16, 8).astype(np.float32)).astype(jnp.bfloat16)
     with config.numerics_mode("fast"):
-        for variant in (None, "off", "probs", "scores"):
+        for variant in (None, "off", "probs", "scores", "scores_f16"):
             config.set_attn_bf16(variant)
             try:
                 out = attention.multi_head_attention(q, q, q, num_heads=2,
@@ -327,6 +331,38 @@ def test_hr_tail_bf16_close(model_id, rng):
     assert out.dtype == np.float32
     d = np.abs(out - ref).max()
     assert 0 < d < 2.5e-2 * max(dr / 255.0, 1e-3) * 255, d
-    # AUTO off at every site until a >=68.5 dB measurement ships one
-    with config.numerics_mode("high"):
-        assert not config.hr_tail_bf16("m_rfdn")
+
+
+@pytest.mark.parametrize("model_id", [33, 27, 28, 20])
+def test_hr_tail_f16_closer_than_bf16(model_id, rng):
+    """The f16 HR-tail tier (same 2-byte traffic, 3 more mantissa bits)
+    must land strictly closer to the f32 graph than the bf16 tier."""
+    from ntire2022_esr_tpu.harness import registry
+
+    apply, params, name, dr, tile = registry.build_model(model_id)
+    x = jnp.asarray(rng.rand(1, 24, 20, 3).astype(np.float32) * dr)
+    ref = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
+    errs = {}
+    for tier in ("bf16", "f16"):
+        config.set_hr_tail(tier)
+        try:
+            out = np.asarray(jax.jit(lambda p, v: apply(p, v))(params, x))
+        finally:
+            config.set_hr_tail(None)
+        assert config.mode() == "parity"  # scope restored the mode
+        assert out.dtype == np.float32
+        errs[tier] = float(np.sqrt(np.mean((out - ref) ** 2)))
+    assert 0 < errs["f16"] < errs["bf16"], errs
+
+
+def test_hr_tail_knob_validation_and_legacy():
+    with pytest.raises(ValueError):
+        config.set_hr_tail("f8")
+    # legacy boolean API maps onto the tier knob
+    config.set_hr_tail_bf16(True)
+    try:
+        assert config.hr_tail("m_rfdn") == "bf16"
+        assert config.hr_tail_bf16("m_rfdn")
+    finally:
+        config.set_hr_tail(None)
+    assert config.hr_tail_override() is None

@@ -52,6 +52,12 @@ def main(argv=None):
                              "padheads20", "branch0", "branch2",
                              "attn20", "attn9", "attn12",
                              "tail33", "tail27", "tail28", "tail20"])
+    ap.add_argument("--tail-tiers", action="append", default=None,
+                    choices=["bf16", "f16"],
+                    help="restrict tail probes to these tiers (stock always runs)")
+    ap.add_argument("--attn-variants", action="append", default=None,
+                    choices=["off", "probs", "scores", "scores_f16"],
+                    help="restrict attn probes to these variants")
     args = ap.parse_args(argv)
     probes = args.probe or ["pad", "dense9", "dense27"]
 
@@ -158,19 +164,21 @@ def main(argv=None):
         if key not in probes:
             continue
         apply, params, name, dr, _ = registry.build_model(mid)
-        config.set_hr_tail_bf16(False)
-        stock = measure_chain(apply, params, args.batch, args.size, dr,
-                              args.reps, args.iters)
-        config.set_hr_tail_bf16(True)
-        try:
-            tail = measure_chain(apply, params, args.batch, args.size, dr,
-                                 args.reps, args.iters)
-        finally:
-            config.set_hr_tail_bf16(None)
-        results[f"hrtail_{name}"] = {"stock_ms": stock, "tail_bf16_ms": tail,
-                                     "batch": args.batch, "mode": args.mode}
-        print(f"{name} hr-tail-bf16: stock {stock:.3f} vs bf16-tail {tail:.3f} "
-              "ms/img", flush=True)
+        row = {"batch": args.batch, "mode": args.mode}
+        for tier, col in (("off", "stock_ms"), ("bf16", "tail_bf16_ms"),
+                          ("f16", "tail_f16_ms")):
+            if tier != "off" and args.tail_tiers and tier not in args.tail_tiers:
+                continue
+            config.set_hr_tail(tier)
+            try:
+                row[col] = measure_chain(apply, params, args.batch, args.size,
+                                         dr, args.reps, args.iters)
+            finally:
+                config.set_hr_tail(None)
+        results[f"hrtail_{name}"] = row
+        print(f"{name} hr-tail: " + " / ".join(
+            f"{k.replace('_ms', '')} {v:.3f}" for k, v in row.items()
+            if k.endswith("_ms")) + " ms/img", flush=True)
         json.dump(results, open(args.out, "w"), indent=1)
 
     for key, mid in (("attn20", 20), ("attn9", 9), ("attn12", 12)):
@@ -178,7 +186,9 @@ def main(argv=None):
             continue
         apply, params, name, dr, _ = registry.build_model(mid)
         row = {"batch": args.batch, "mode": args.mode}
-        for variant in ("off", "probs", "scores"):
+        for variant in ("off", "probs", "scores", "scores_f16"):
+            if args.attn_variants and variant not in args.attn_variants:
+                continue
             config.set_attn_bf16(variant)
             try:
                 row[f"{variant}_ms"] = measure_chain(
@@ -186,9 +196,9 @@ def main(argv=None):
             finally:
                 config.set_attn_bf16(None)  # back to AUTO
         results[f"attnbf16_{name}"] = row
-        print(f"{name} attn-bf16: off {row['off_ms']:.3f} / probs "
-              f"{row['probs_ms']:.3f} / scores {row['scores_ms']:.3f} ms/img",
-              flush=True)
+        print(f"{name} attn-storage: " + " / ".join(
+            f"{k[:-3]} {v:.3f}" for k, v in row.items() if k.endswith("_ms"))
+            + " ms/img", flush=True)
         json.dump(results, open(args.out, "w"), indent=1)
 
 

@@ -32,15 +32,18 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("ids", nargs="*", type=int)
-    ap.add_argument("--attn", default="auto", choices=["auto", "off", "probs", "scores"],
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "off", "probs", "scores", "scores_f16"],
                     help="attention-score storage for the NON-parity modes "
                          "(parity output stays the strict reference): 'auto' "
                          "= shipped per-site AUTO config; 'off' isolates pure "
-                         "mode error; probs/scores force the variant")
-    ap.add_argument("--tail", default="auto", choices=["auto", "off", "on"],
-                    help="HR-tail bf16 (config.hr_tail_bf16) for the "
+                         "mode error; probs/scores/scores_f16 force the variant")
+    ap.add_argument("--tail", default="auto",
+                    choices=["auto", "off", "on", "bf16", "f16"],
+                    help="HR-tail storage tier (config.hr_tail) for the "
                          "NON-parity modes: 'auto' = shipped config, "
-                         "'off'/'on' force it")
+                         "'off'/'bf16'/'f16' force it ('on' = legacy alias "
+                         "for bf16)")
     args = ap.parse_args(argv)
     ids = args.ids or registry.available_ids()
     gdir = os.path.join(REPO, "tests", "goldens")
@@ -61,7 +64,8 @@ def main(argv=None):
         # and restored after each mode — resetting to None here would
         # silently drop an env opt-in after the first model
         prev_attn = config.attn_bf16_override()
-        prev_tail = config.hr_tail_bf16_override()
+        prev_tail = config.hr_tail_override()
+        tail_force = {"on": "bf16"}.get(args.tail, args.tail)
 
         outs = {}
         for mode in ("parity", "high", "mixed", "fast"):
@@ -70,18 +74,18 @@ def main(argv=None):
                 # the parity arm is always the strict reference graph,
                 # even when a forced env/CLI variant is in effect
                 config.set_attn_bf16("off")
-                config.set_hr_tail_bf16(False)
+                config.set_hr_tail("off")
             else:
                 config.set_attn_bf16(
                     prev_attn if args.attn == "auto" else args.attn)
-                config.set_hr_tail_bf16(
-                    prev_tail if args.tail == "auto" else args.tail == "on")
+                config.set_hr_tail(
+                    prev_tail if tail_force == "auto" else tail_force)
             try:
                 f = jax.jit(lambda p, a: spec.apply(p, a))
                 y = np.asarray(f(params, x), dtype=np.float32)
             finally:
                 config.set_attn_bf16(prev_attn)
-                config.set_hr_tail_bf16(prev_tail)
+                config.set_hr_tail(prev_tail)
             outs[mode] = np.round(np.clip(y, 0, dr) * (255.0 / dr))
 
         def psnr(a, b):
