@@ -306,7 +306,11 @@ _HR_TAIL_AUTO_SITES: "dict[str, str]" = {}
 def hr_tail(site: str) -> str:
     """Active HR-tail tier for ``site``: "off", "bf16" or "f16"."""
     if _hr_tail is None:
-        if _active_name == "parity":
+        # AUTO only upgrades f32-activation modes (high/mixed): in
+        # fast/fast16 the tail is already 2-byte and the published
+        # whole-model envelopes keep their pre-knob graphs (same
+        # rationale as the attn_bf16 f32-only guard in ops/attention.py)
+        if _active_name == "parity" or _active.compute_dtype != jnp.float32:
             return "off"
         return _HR_TAIL_AUTO_SITES.get(site, "off")
     return _hr_tail

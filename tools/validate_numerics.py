@@ -44,11 +44,15 @@ def main(argv=None):
                          "NON-parity modes: 'auto' = shipped config, "
                          "'off'/'bf16'/'f16' force it ('on' = legacy alias "
                          "for bf16)")
+    ap.add_argument("--modes", default="high,mixed,fast",
+                    help="comma-separated non-parity modes to column "
+                         "(e.g. high,mixed,fast,fast16)")
     args = ap.parse_args(argv)
     ids = args.ids or registry.available_ids()
     gdir = os.path.join(REPO, "tests", "goldens")
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
 
-    print(f"{'model':22} {'high dB':>9} {'mixed dB':>9} {'fast dB':>9}")
+    print(f"{'model':22} " + " ".join(f"{m + ' dB':>10}" for m in modes))
     for mid in ids:
         path = os.path.join(gdir, f"model_{mid:02}.npz")
         if not os.path.exists(path):
@@ -68,7 +72,7 @@ def main(argv=None):
         tail_force = {"on": "bf16"}.get(args.tail, args.tail)
 
         outs = {}
-        for mode in ("parity", "high", "mixed", "fast"):
+        for mode in ["parity"] + modes:
             config.set_mode(mode)
             if mode == "parity":
                 # the parity arm is always the strict reference graph,
@@ -92,9 +96,8 @@ def main(argv=None):
             mse = np.mean((a - b) ** 2)
             return float("inf") if mse == 0 else 20 * np.log10(255.0 / np.sqrt(mse))
 
-        print(f"{spec.name:22} {psnr(outs['parity'], outs['high']):9.2f} "
-              f"{psnr(outs['parity'], outs['mixed']):9.2f} "
-              f"{psnr(outs['parity'], outs['fast']):9.2f}", flush=True)
+        print(f"{spec.name:22} " + " ".join(
+            f"{psnr(outs['parity'], outs[m]):10.2f}" for m in modes), flush=True)
 
 
 if __name__ == "__main__":
