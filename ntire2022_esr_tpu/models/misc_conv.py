@@ -155,10 +155,24 @@ def _lwfa(p, x, slope: float = 0.2):
             h = ops.leaky_relu(ops.conv(p[n], h, padding=0 if n.endswith("_1") else None), slope)
         return h
 
-    b1 = chain(["conv1_1", "conv1_2"], x)
-    b2 = chain(["conv2_1", "conv2_2", "conv2_3"], x)
-    b3 = chain(["conv3_1", "conv3_2", "conv3_3", "conv3_4"], x)
-    b4 = chain(["conv4_1", "conv4_2", "conv4_3", "conv4_4", "conv4_5"], x)
+    if config.fuse_parallel_branches("lwfanet"):
+        # the four branch heads are 1x1 convs that all read x: one merged
+        # 96-lane conv (output-exact, zero extra MACs, x read once)
+        from ntire2022_esr_tpu.ops.fused import parallel_conv_same
+
+        heads = parallel_conv_same(
+            [p["conv1_1"], p["conv2_1"], p["conv3_1"], p["conv4_1"]], x,
+            padding=0)
+        h1, h2, h3, h4 = (ops.leaky_relu(h, slope) for h in heads)
+        b1 = chain(["conv1_2"], h1)
+        b2 = chain(["conv2_2", "conv2_3"], h2)
+        b3 = chain(["conv3_2", "conv3_3", "conv3_4"], h3)
+        b4 = chain(["conv4_2", "conv4_3", "conv4_4", "conv4_5"], h4)
+    else:
+        b1 = chain(["conv1_1", "conv1_2"], x)
+        b2 = chain(["conv2_1", "conv2_2", "conv2_3"], x)
+        b3 = chain(["conv3_1", "conv3_2", "conv3_3", "conv3_4"], x)
+        b4 = chain(["conv4_1", "conv4_2", "conv4_3", "conv4_4", "conv4_5"], x)
     out = jnp.concatenate([b1, b2, b3, b4], axis=-1)
 
     # CBAM-style channel attention (avg+max pooled MLP, bias-free)

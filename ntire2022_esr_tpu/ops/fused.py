@@ -92,6 +92,30 @@ def parallel_conv_pair(p_1x1, p_kxk, x: jax.Array, dilation: int = 1):
     return out[..., :d], out[..., d:]
 
 
+def parallel_conv_same(ps, x: jax.Array, **kw):
+    """One conv for N sibling convs with IDENTICAL kernel geometry reading
+    the SAME input; outputs returned as per-branch slices.
+
+    Unlike :func:`parallel_conv_pair` no kernel zero-padding is needed, so
+    the merged conv does EXACTLY the same MACs — it just packs the output
+    lanes (e.g. LWFANet's four 24-lane branch heads -> one 96-lane conv,
+    team27_lwfanet.py:39-50) and reads the shared input from HBM once
+    instead of N times. Exact up to f32 reassociation is not even needed:
+    per output channel the reduction is the branch's own, so the fusion is
+    output-exact. ``kw`` forwards to conv2d (padding/stride/dilation must
+    be shared by the siblings)."""
+    widths = [int(p["weight"].shape[-1]) for p in ps]
+    w = jnp.concatenate([p["weight"] for p in ps], axis=-1)
+    b = _nn.concat_biases([(p.get("bias"), n) for p, n in zip(ps, widths)],
+                          w.dtype)
+    out = _nn.conv2d(x, w, b, **kw)
+    outs, c = [], 0
+    for n in widths:
+        outs.append(out[..., c:c + n])
+        c += n
+    return outs
+
+
 def upconv_nearest2(p, x: jax.Array) -> jax.Array:
     """The models' upsampler step: fused lowering when enabled
     (config.fuse_upsample_conv), reference-shaped graph otherwise."""

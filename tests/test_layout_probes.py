@@ -184,10 +184,12 @@ def test_parallel_conv_pair_exact_vs_torch(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("model_id", [0, 13, 40, 2])
+@pytest.mark.parametrize("model_id", [0, 13, 40, 2, 27])
 def test_fuse_parallel_branches_zoo_parity(model_id, rng):
-    """RFDN-family (incl. dilated + pruned variants) and NLFFC under the
-    branch-fusion flag match the reference-shaped graph."""
+    """RFDN-family (incl. dilated + pruned variants), NLFFC, and LWFANet
+    (four same-input 1x1 branch heads merged via ops.fused.
+    parallel_conv_same) under the branch-fusion flag match the
+    reference-shaped graph."""
     from ntire2022_esr_tpu.harness import registry
 
     apply, params, name, dr, tile = registry.build_model(model_id)

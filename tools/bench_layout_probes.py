@@ -49,7 +49,7 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--probe", action="append", default=None,
                     choices=["pad", "dense9", "dense27", "fuse33", "fuse27",
-                             "padheads20", "branch0", "branch2",
+                             "padheads20", "branch0", "branch2", "branch27",
                              "attn20", "attn9", "attn12",
                              "tail33", "tail27", "tail28", "tail20"])
     ap.add_argument("--tail-tiers", action="append", default=None,
@@ -120,7 +120,7 @@ def main(argv=None):
               "ms/img", flush=True)
         json.dump(results, open(args.out, "w"), indent=1)
 
-    for key, mid in (("branch0", 0), ("branch2", 2)):
+    for key, mid in (("branch0", 0), ("branch2", 2), ("branch27", 27)):
         if key not in probes:
             continue
         apply, params, name, dr, _ = registry.build_model(mid)
