@@ -30,6 +30,34 @@ def fence(out) -> None:
     np.asarray(jax.device_get(leaf))
 
 
+def require_device(timeout_s: float = 180.0) -> None:
+    """Fail fast when the backend is unreachable.
+
+    The tunnelled axon backend hangs *indefinitely* in backend init while
+    the device is down (observed: a 25-minute stall before UNAVAILABLE),
+    which turns unattended measurement tools into silent zombies. A
+    daemon-thread probe bounds the wait: raises RuntimeError if
+    ``jax.devices()`` has not returned within ``timeout_s``. Instant on
+    healthy backends (CPU included). Tune/disable with
+    NTIRE_DEVICE_TIMEOUT (seconds; 0 disables)."""
+    import os
+    import threading
+
+    env = os.environ.get("NTIRE_DEVICE_TIMEOUT")
+    if env is not None:
+        timeout_s = float(env)
+    if timeout_s <= 0:
+        return
+    ok: list = []
+    t = threading.Thread(target=lambda: ok.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        raise RuntimeError(
+            f"device backend not ready within {timeout_s:.0f}s "
+            "(axon tunnel down?) — set NTIRE_DEVICE_TIMEOUT to adjust")
+
+
 def chain_timer(apply, params, x, reps: int = 8, iters: int = 3) -> float:
     """Chain-method sustained timing (docs/RUNTIME_TPU.md): ``reps`` async
     dispatches of a small forward+reduce executable back-to-back (the

@@ -393,3 +393,25 @@ def test_runner_spatial_fallback_logged(tmp_path, rng, caplog):
                          spatial_mesh=make_mesh(), spatial_overlap=32)
     assert len(res["valid_psnr"]) == 1
     assert any("spatial sharding unavailable" in r.message for r in caplog.records)
+
+
+def test_require_device_fast_path(monkeypatch):
+    """require_device returns instantly on a healthy backend, honors the
+    NTIRE_DEVICE_TIMEOUT=0 disable, and raises (bounded) when the probe
+    never completes (the axon tunnel hangs indefinitely while down)."""
+    import time as _time
+
+    from ntire2022_esr_tpu.harness import profiling
+
+    t0 = _time.perf_counter()
+    profiling.require_device(30.0)  # CPU backend: instant
+    assert _time.perf_counter() - t0 < 10.0
+
+    monkeypatch.setenv("NTIRE_DEVICE_TIMEOUT", "0")
+    profiling.require_device(0.001)  # disabled: no probe at all
+
+    monkeypatch.setenv("NTIRE_DEVICE_TIMEOUT", "0.05")
+    monkeypatch.setattr(profiling.jax, "devices",
+                        lambda *a, **k: _time.sleep(30))
+    with pytest.raises(RuntimeError, match="not ready"):
+        profiling.require_device()

@@ -63,7 +63,9 @@ def main(argv=None):
 
     from ntire2022_esr_tpu import config
     from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.harness.profiling import require_device
 
+    require_device()
     config.set_mode(args.mode)
     results = {}
     if os.path.exists(args.out):

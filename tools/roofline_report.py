@@ -46,6 +46,9 @@ def main(argv=None):
 
     from ntire2022_esr_tpu import config
     from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.harness.profiling import require_device
+
+    require_device()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--ids", nargs="*", type=int, default=DEFAULT_IDS)
