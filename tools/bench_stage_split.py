@@ -134,7 +134,103 @@ def _split_28(params):
     return body, tail
 
 
-SPLITS = {33: _split_33, 27: _split_27, 28: _split_28}
+def _split_20(params):
+    """MobileSR (models/mobilesr.py): body = head + 5 transformer/resblock
+    pairs + fuse (all LR-domain, attention-heavy), tail = 2x pixel-shuffle
+    upsample + tail conv + global bilinear residual."""
+    from ntire2022_esr_tpu import ops
+    from ntire2022_esr_tpu.models import blocks
+    from ntire2022_esr_tpu.models.mobilesr import _res_block, _transformer
+
+    import jax.numpy as jnp
+
+    def body(p, x):
+        x0 = ops.conv(p["head"], x)
+        layers = p["body"]["layers"]
+        h = x0
+        for i in range(5):
+            pp = layers[str(i)]
+            h = _res_block(pp["1"], _transformer(pp["0"], h))
+        return ops.conv(p["fuse"], jnp.concatenate([x0, h], axis=-1))
+
+    def tail(p, h, x_lr):
+        up = p["upsapling"]
+        h2 = ops.pixel_shuffle(ops.conv(blocks.seq(up, 0), h, padding=0), 2)
+        h2 = ops.pixel_shuffle(ops.conv(blocks.seq(up, 2), h2, padding=0), 2)
+        h2 = ops.leaky_relu(h2, 0.2)
+        h2 = ops.conv(p["tail"], h2)
+        return h2 + ops.interpolate(x_lr, scale_factor=4, mode="bilinear")
+
+    return body, tail
+
+
+def _split_30(params):
+    """SCET (models/scet.py): body = conv3 + 16x SCPA + transformer (LR),
+    tail = both pixel-shuffle heads. The tail needs BOTH the transformer
+    output and the head-conv output, so body returns their concat."""
+    from ntire2022_esr_tpu import ops
+    from ntire2022_esr_tpu.models.scet import _scpa, _transformer_block
+
+    import jax.numpy as jnp
+
+    def body(p, x):
+        h = ops.conv(p["conv3"], x)
+        p1 = p["path1"]
+        h1 = h
+        for i in range(16):
+            h1 = _scpa(p1["0"]["arr"][str(i)], h1)
+        h1 = _transformer_block(p1["1"]["arr"]["0"], h1)
+        return jnp.concatenate([h1, h], axis=-1)
+
+    def tail(p, hh, x_lr):
+        c = hh.shape[-1] // 2
+        h1, h = hh[..., :c], hh[..., c:]
+        p1 = p["path1"]
+        h1 = ops.conv(p1["2"], h1)
+        h1 = ops.pixel_shuffle(h1, 4)
+        h1 = ops.conv(p1["4"], h1)
+        h2 = ops.pixel_shuffle(h, 4)
+        h2 = ops.conv(p["path2"]["1"], h2)
+        return h1 + h2
+
+    return body, tail
+
+
+def _split_09(params):
+    """IMDTN (models/imdtn.py): body = flip-pad + fea/IMDTB/c/LR_conv(+fea)
+    (the transformer-heavy LR trunk), tail = upsampler conv + x4
+    pixel-shuffle + crop back to 4x the LR input size."""
+    from ntire2022_esr_tpu import ops
+    from ntire2022_esr_tpu.models import blocks
+    from ntire2022_esr_tpu.models.imdtn import _imdtb
+
+    import jax.numpy as jnp
+
+    def body(p, x):
+        n, h_old, w_old, _ = x.shape
+        h_pad = (h_old // 6 + 1) * 6 - h_old
+        w_pad = (w_old // 6 + 1) * 6 - w_old
+        x = jnp.concatenate([x, jnp.flip(x, axis=1)], axis=1)[:, : h_old + h_pad, :, :]
+        x = jnp.concatenate([x, jnp.flip(x, axis=2)], axis=2)[:, :, : w_old + w_pad, :]
+        fea = ops.conv(p["fea_conv"], x)
+        dc = fea.shape[-1] // 4
+        outs, h = [], fea
+        for i in range(1, 4):
+            h = _imdtb(p[f"IMDTB{i}"], h, dc)
+            outs.append(h)
+        h = ops.leaky_relu(ops.conv(blocks.seq(p["c"], 0),
+                                    jnp.concatenate(outs, axis=-1), padding=0), 0.05)
+        return ops.conv(p["LR_conv"], h) + fea
+
+    def tail(p, h, x_lr):
+        out = ops.pixel_shuffle(ops.conv(blocks.seq(p["upsampler"], 0), h), 4)
+        return out[:, : x_lr.shape[1] * 4, : x_lr.shape[2] * 4, :]
+
+    return body, tail
+
+
+SPLITS = {33: _split_33, 27: _split_27, 28: _split_28,
+          20: _split_20, 30: _split_30, 9: _split_09}
 
 
 def main(argv=None):
@@ -193,7 +289,13 @@ def main(argv=None):
         got = tail(params, jax.lax.dynamic_slice_in_dim(h0, 0, args.chunk, 0),
                    jax.lax.dynamic_slice_in_dim(x, 0, args.chunk, 0))
         err = float(jnp.max(jnp.abs(ref - got)))
-        assert err < 1e-4 * max(dr, 1.0), f"{name}: split mismatch {err}"
+        # parity mode is bit-class exact; in reduced-precision modes the
+        # executable boundary changes XLA fusion, so identical math can
+        # differ at the mode's own rounding level (observed 4e-3 on
+        # MobileSR's bf16-score attention in `high`) — gate at a level
+        # that still catches mis-wiring (which errs at O(0.1-1))
+        tol = (1e-4 if args.mode == "parity" else 2e-2) * max(dr, 1.0)
+        assert err < tol, f"{name}: split mismatch {err}"
 
         # warm both executables, then chain-time reps of (body + tails)
         fence(tail_j(params, h0, x, jnp.int32(0)))
@@ -215,7 +317,8 @@ def main(argv=None):
         full_s = chain_timer(apply, params, xf, args.reps, args.iters)
         full_ms = full_s * 1e3 / args.reps / args.full_batch
 
-        row = {"mode": args.mode, "body_batch": args.batch,
+        row = {"model_id": mid, "mode": args.mode, "size": args.size,
+               "reps": args.reps, "body_batch": args.batch,
                "chunk": args.chunk, "full_batch": args.full_batch,
                "split_msimg": split_ms, "full_msimg": full_ms,
                "max_abs_err": err}

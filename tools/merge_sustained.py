@@ -48,6 +48,19 @@ def main(argv=None):
 
     base = json.load(open(args.base))
     upd = json.load(open(args.update)) if os.path.exists(args.update) else {}
+    # stage-split artifact rows (tools/bench_stage_split.py, keys
+    # "stagesplit_<name>") are chain-semantics sustained measurements of
+    # body@body_batch + chunked-tail dispatch; adapt them to the sweep
+    # schema so the best-method-per-model merge below applies unchanged
+    for key in [k for k in upd if k.startswith("stagesplit_")]:
+        r = upd.pop(key)
+        name = key[len("stagesplit_"):]
+        mid = r.get("model_id", int(re.match(r"-?\d+", name).group()))
+        upd[name] = {"model_id": mid, "batch": r["body_batch"],
+                     "chunk": r["chunk"], "reps": r.get("reps", 8),
+                     "mode": r["mode"], "size": r.get("size", 256),
+                     "method": "split",
+                     "ms_per_image_sustained": r["split_msimg"]}
     for name, row in upd.items():
         if name in base:
             # refuse to mix methodologies: a faster number measured under a
