@@ -42,7 +42,8 @@ class SRServer:
 
     def __init__(self, model_id: int = 4, *, max_batch: int = 32, depth: int = 2,
                  apply: Optional[Callable] = None, params=None,
-                 data_range: Optional[float] = None, mesh=None):
+                 data_range: Optional[float] = None, mesh=None,
+                 stage_split: "bool | int" = False):
         if apply is None:
             apply, params, name, data_range, tile = registry.build_model(model_id)
             if tile is not None:
@@ -58,11 +59,45 @@ class SRServer:
         self._mesh = mesh
         dr = self._dr
 
-        def serve(p, u8):
-            x = u8.astype(jnp.float32) / (255.0 / dr)
-            y = apply(p, x)
+        def u8_in(u8):
+            return u8.astype(jnp.float32) / (255.0 / dr)
+
+        def u8_out(y):
             y = jnp.clip(y, 0, dr) * (255.0 / dr)
             return jnp.round(y).astype(jnp.uint8)
+
+        def serve(p, u8):
+            return u8_out(apply(p, u8_in(u8)))
+
+        self._split = None
+        if stage_split:
+            # stage-split dispatch (harness/stagesplit.py): body at the full
+            # batch + the x4 tail over chunks, two executables — lifts the
+            # compile bytes-ceiling so big-tail models serve at their
+            # utilization-efficient batch (NASNetBN: 8 -> 128)
+            from ntire2022_esr_tpu.harness import stagesplit
+
+            if mesh is not None:
+                raise ValueError("stage_split does not compose with mesh "
+                                 "serving (shard the batch OR split stages)")
+            sp = stagesplit.get_split(model_id)
+            if sp is None:
+                raise ValueError(
+                    f"model {model_id} has no registered stage split "
+                    f"(available: {stagesplit.split_ids()})")
+            chunk = (int(stage_split) if stage_split is not True
+                     else stagesplit.SHIPPED.get(model_id, (0, 8))[1])
+
+            def body_serve(p, u8):
+                return sp.body(p, u8_in(u8))
+
+            def tail_serve(p, h, u8, c):
+                hs = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, 0), h)
+                xs = jax.lax.dynamic_slice_in_dim(u8, c * chunk, chunk, 0)
+                return u8_out(sp.tail(p, hs, u8_in(xs)))
+
+            self._split = (jax.jit(body_serve), jax.jit(tail_serve), chunk)
 
         if mesh is not None:
             # data-parallel over ICI: params replicated, batch sharded
@@ -86,7 +121,15 @@ class SRServer:
                 f"{self._mesh.devices.size} (sharded batches are padded to "
                 "the mesh at submit time; warm the padded size)")
         u = jnp.zeros((b, hw[0], hw[1], 3), jnp.uint8)
-        np.asarray(self._jitted(self._params, u)[0, 0, 0, 0])
+        if self._split is not None:
+            body_j, tail_j, chunk = self._split
+            pad = (-b) % chunk
+            if pad:
+                u = jnp.concatenate([u, jnp.zeros((pad,) + u.shape[1:], u.dtype)])
+            h = body_j(self._params, u)
+            np.asarray(tail_j(self._params, h, u, jnp.int32(0))[0, 0, 0, 0])
+        else:
+            np.asarray(self._jitted(self._params, u)[0, 0, 0, 0])
 
     def _submit(self, frames: List[np.ndarray]):
         batch = np.stack(frames)
@@ -97,14 +140,28 @@ class SRServer:
             if pad:
                 batch = np.concatenate(
                     [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
-        # the lock serialises dispatch only — it must never be held across a
-        # yield (a suspended generator would deadlock every other caller)
+        if self._split is not None:
+            body_j, tail_j, chunk = self._split
+            pad = (-len(frames)) % chunk
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+            # the lock serialises dispatch only — it must never be held
+            # across a yield (a suspended generator would deadlock callers)
+            with self._lock:
+                u = jnp.asarray(batch)
+                h = body_j(self._params, u)
+                return [tail_j(self._params, h, u, jnp.int32(c))
+                        for c in range(batch.shape[0] // chunk)]
         with self._lock:
             return self._jitted(self._params, jnp.asarray(batch))
 
     def process_one(self, lr_u8: np.ndarray) -> np.ndarray:
         """uint8 HWC in -> uint8 (4H, 4W, C) out."""
-        return np.asarray(self._submit([lr_u8]))[0]
+        out = self._submit([lr_u8])
+        if isinstance(out, list):  # stage-split: first chunk holds frame 0
+            out = out[0]
+        return np.asarray(out)[0]
 
     def process_stream(self, frames: Iterable[np.ndarray],
                        batch: Optional[int] = None) -> Iterator[np.ndarray]:
@@ -130,7 +187,10 @@ class SRServer:
 
         def drain_one():
             out, n = inflight.popleft()
-            arr = np.asarray(out)
+            if isinstance(out, list):  # stage-split: per-chunk outputs
+                arr = np.concatenate([np.asarray(o) for o in out])
+            else:
+                arr = np.asarray(out)
             for k in range(n):
                 yield arr[k]
 

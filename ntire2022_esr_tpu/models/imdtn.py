@@ -45,7 +45,10 @@ def _imdtb(p, x, dc: int):
     return _rstb(p["transformer"], out) + inp
 
 
-def imdtn_apply(params, x, *, num_modules: int = 3, upscale: int = 4):
+def imdtn_body(params, x, *, num_modules: int = 3):
+    """Flip-pad to a multiple of 6 + fea/IMDTB/c/LR_conv(+fea) — the
+    transformer-heavy LR trunk. Body/tail seam = the stage-split dispatch
+    boundary (harness/stagesplit.py)."""
     n, h_old, w_old, c = x.shape
     h_pad = (h_old // 6 + 1) * 6 - h_old
     w_pad = (w_old // 6 + 1) * 6 - w_old
@@ -60,6 +63,16 @@ def imdtn_apply(params, x, *, num_modules: int = 3, upscale: int = 4):
         h = _imdtb(params[f"IMDTB{i}"], h, dc)
         outs.append(h)
     h = ops.leaky_relu(ops.conv(blocks.seq(params["c"], 0), jnp.concatenate(outs, axis=-1), padding=0), SLOPE)
-    h = ops.conv(params["LR_conv"], h) + fea
+    return ops.conv(params["LR_conv"], h) + fea
+
+
+def imdtn_tail(params, h, x_lr, *, upscale: int = 4):
+    """Upsampler conv + x4 pixel-shuffle + crop back to 4x the (unpadded)
+    LR input size — x_lr supplies the crop shape only."""
     out = ops.pixel_shuffle(ops.conv(blocks.seq(params["upsampler"], 0), h), upscale)
-    return out[:, : h_old * 4, : w_old * 4, :]
+    return out[:, : x_lr.shape[1] * 4, : x_lr.shape[2] * 4, :]
+
+
+def imdtn_apply(params, x, *, num_modules: int = 3, upscale: int = 4):
+    h = imdtn_body(params, x, num_modules=num_modules)
+    return imdtn_tail(params, h, x, upscale=upscale)

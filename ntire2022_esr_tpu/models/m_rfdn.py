@@ -35,7 +35,9 @@ def _m_rfdb(p, x, slope: float = 0.05):
     return blocks.esa(p["esa"], ops.conv(p["c5"], out, padding=0))
 
 
-def m_rfdn_apply(params, x, *, num_modules: int = 4):
+def m_rfdn_body(params, x, *, num_modules: int = 4):
+    """LR-domain trunk: fea/B1..B4/c/LR_conv(+fea). The body/tail seam is
+    the stage-split dispatch boundary (harness/stagesplit.py)."""
     fea = ops.conv(params["fea_conv"], x)
     body_params = [params[f"B{i}"] for i in range(1, num_modules + 1)]
     if config.scan_blocks("m_rfdn"):
@@ -47,14 +49,20 @@ def m_rfdn_apply(params, x, *, num_modules: int = 4):
             h = _m_rfdb(p, h)
             outs.append(h)
     h = ops.leaky_relu(ops.conv(blocks.seq(params["c"], 0), jnp.concatenate(outs, axis=-1), padding=0), 0.05)
-    h = ops.conv(params["LR_conv"], h) + fea
+    return ops.conv(params["LR_conv"], h) + fea
+
+
+def m_rfdn_tail(params, h, x_lr):
+    """Progressive x4 upsampler + conv_last (x_lr unused — uniform tail
+    signature for the stage-split runner)."""
+    del x_lr
 
     def pa(p, v):
         return v * ops.sigmoid(ops.conv(p["conv"], v, padding=0))
 
     from ntire2022_esr_tpu.ops.fused import upconv_nearest2
 
-    def tail(h):
+    def up(h):
         h = upconv_nearest2(params["upconv1"], h)
         h = ops.leaky_relu(pa(params["att1"], h), 0.2)
         h = ops.leaky_relu(ops.conv(params["HRconv1"], h), 0.2)
@@ -67,5 +75,9 @@ def m_rfdn_apply(params, x, *, num_modules: int = 4):
     # is computed and stored at the active mode's precision — one fewer
     # rounding on the output pixels for ~1/17 of the tail's bytes.
     with config.hr_tail_scope("m_rfdn"):
-        h = tail(h)
+        h = up(h)
     return ops.conv(params["conv_last"], h)
+
+
+def m_rfdn_apply(params, x, *, num_modules: int = 4):
+    return m_rfdn_tail(params, m_rfdn_body(params, x, num_modules=num_modules), x)

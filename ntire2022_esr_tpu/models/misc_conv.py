@@ -186,7 +186,9 @@ def _lwfa(p, x, slope: float = 0.2):
     return ca * out + sa1 * out + sa2 * x
 
 
-def lwfanet_apply(params, x, *, num_block: int = 10, slope: float = 0.2):
+def lwfanet_body(params, x, *, num_block: int = 10, slope: float = 0.2):
+    """conv_first + 10x LWFA + conv_body/conv_L (LR domain). Body/tail seam
+    = the stage-split dispatch boundary (harness/stagesplit.py)."""
     feat = ops.conv(params["conv_first"], x)
     body_params = [blocks.seq(params["body"], i) for i in range(num_block)]
     if config.scan_blocks("lwfanet"):
@@ -195,10 +197,16 @@ def lwfanet_apply(params, x, *, num_block: int = 10, slope: float = 0.2):
         h = feat
         for p in body_params:
             h = _lwfa(p, h, slope)
+    feat = feat + ops.conv(params["conv_body"], h)
+    return ops.conv(params["conv_L"], feat, padding=0)
+
+
+def lwfanet_tail(params, feat, x_lr, *, slope: float = 0.2):
+    """2x fused nearest-up+conv + conv_hr + conv_last (x_lr unused —
+    uniform tail signature for the stage-split runner)."""
+    del x_lr
     from ntire2022_esr_tpu.ops.fused import upconv_nearest2
 
-    feat = feat + ops.conv(params["conv_body"], h)
-    feat = ops.conv(params["conv_L"], feat, padding=0)
     # conv_last stays OUTSIDE the reduced-precision scope (see m_rfdn.py):
     # its input keeps the 2-byte tier, the output pixels keep full precision
     with config.hr_tail_scope("lwfanet"):
@@ -206,3 +214,8 @@ def lwfanet_apply(params, x, *, num_block: int = 10, slope: float = 0.2):
         feat2 = ops.leaky_relu(upconv_nearest2(params["conv_up2"], feat2), slope)
         feat2 = ops.leaky_relu(ops.conv(params["conv_hr"], feat2), slope)
     return ops.conv(params["conv_last"], feat2)
+
+
+def lwfanet_apply(params, x, *, num_block: int = 10, slope: float = 0.2):
+    feat = lwfanet_body(params, x, num_block=num_block, slope=slope)
+    return lwfanet_tail(params, feat, x, slope=slope)

@@ -53,7 +53,9 @@ def _res_block(p, x, slope: float = 0.2):
     return h + x
 
 
-def mobilesr_apply(params, x, *, n_blocks: int = 5, num_heads: int = 8, upscale: int = 4):
+def mobilesr_body(params, x, *, n_blocks: int = 5, num_heads: int = 8):
+    """head + 5 transformer/resblock pairs + fuse (all LR-domain). Body/tail
+    seam = the stage-split dispatch boundary (harness/stagesplit.py)."""
     x0 = ops.conv(params["head"], x)
     layers = params["body"]["layers"]
     pair_params = [layers[str(i)] for i in range(n_blocks)]
@@ -67,7 +69,12 @@ def mobilesr_apply(params, x, *, n_blocks: int = 5, num_heads: int = 8, upscale:
         h = x0
         for p in pair_params:
             h = pair(p, h)
-    h = ops.conv(params["fuse"], jnp.concatenate([x0, h], axis=-1))
+    return ops.conv(params["fuse"], jnp.concatenate([x0, h], axis=-1))
+
+
+def mobilesr_tail(params, h, x_lr, *, upscale: int = 4):
+    """2x pixel-shuffle upsample + tail conv + global bilinear residual
+    (needs the LR input for the residual)."""
     up = params["upsapling"]
     # the tail conv stays OUTSIDE the reduced-precision scope (see
     # m_rfdn.py): its input keeps the 2-byte tier, the output pixels keep
@@ -78,4 +85,9 @@ def mobilesr_apply(params, x, *, n_blocks: int = 5, num_heads: int = 8, upscale:
         h2 = ops.leaky_relu(h2, 0.2)
     h2 = ops.conv(params["tail"], h2)
     # the global bilinear residual stays f32: it carries the base image
-    return h2 + ops.interpolate(x, scale_factor=upscale, mode="bilinear")
+    return h2 + ops.interpolate(x_lr, scale_factor=upscale, mode="bilinear")
+
+
+def mobilesr_apply(params, x, *, n_blocks: int = 5, num_heads: int = 8, upscale: int = 4):
+    h = mobilesr_body(params, x, n_blocks=n_blocks, num_heads=num_heads)
+    return mobilesr_tail(params, h, x, upscale=upscale)

@@ -42,7 +42,9 @@ def _res_leaky_bn(p, x):
     return x + out
 
 
-def nasnetbn_apply(params, x, *, arch_list=ARCH_LIST, upscale: int = 4, slope: float = 0.1):
+def nasnetbn_body(params, x, *, arch_list=ARCH_LIST, slope: float = 0.1):
+    """conv_first + NAS trunk (LR domain). Body/tail seam = the stage-split
+    dispatch boundary (harness/stagesplit.py)."""
     fea = ops.leaky_relu(ops.conv(params["conv_first"], x), slope)
     h = fea
     for i, idx in enumerate(arch_list):
@@ -53,6 +55,12 @@ def nasnetbn_apply(params, x, *, arch_list=ARCH_LIST, upscale: int = 4, slope: f
             h = _res_bn(p, h)
         else:
             h = _res_leaky_bn(p, h)
+    return h
+
+
+def nasnetbn_tail(params, h, x_lr, *, upscale: int = 4, slope: float = 0.1):
+    """2x pixel-shuffle upconv + HRconv/conv_last + global bilinear residual
+    (needs the LR input for the residual)."""
     # conv_last stays OUTSIDE the reduced-precision scope (see m_rfdn.py):
     # its input keeps the 2-byte tier, the output pixels keep full precision
     with config.hr_tail_scope("nasnetbn"):
@@ -61,4 +69,9 @@ def nasnetbn_apply(params, x, *, arch_list=ARCH_LIST, upscale: int = 4, slope: f
         h2 = ops.leaky_relu(ops.conv(params["HRconv"], h2), slope)
     out = ops.conv(params["conv_last"], h2)
     # the global bilinear residual stays f32: it carries the base image
-    return out + ops.interpolate(x, scale_factor=upscale, mode="bilinear")
+    return out + ops.interpolate(x_lr, scale_factor=upscale, mode="bilinear")
+
+
+def nasnetbn_apply(params, x, *, arch_list=ARCH_LIST, upscale: int = 4, slope: float = 0.1):
+    h = nasnetbn_body(params, x, arch_list=arch_list, slope=slope)
+    return nasnetbn_tail(params, h, x, upscale=upscale, slope=slope)

@@ -49,7 +49,10 @@ def _transformer_block(p, x, num_heads: int = 8):
     return x
 
 
-def scet_apply(params, x, *, n_scpa: int = 16, upscale: int = 4):
+def scet_body(params, x, *, n_scpa: int = 16):
+    """conv3 + 16x SCPA + transformer (LR domain). Returns BOTH the
+    transformer output and the head-conv output (the tail's dual heads read
+    each). Body/tail seam = the stage-split boundary (harness/stagesplit.py)."""
     h = ops.conv(params["conv3"], x)
     p1 = params["path1"]
     scpa_params = [p1["0"]["arr"][str(i)] for i in range(n_scpa)]
@@ -60,6 +63,15 @@ def scet_apply(params, x, *, n_scpa: int = 16, upscale: int = 4):
         for p in scpa_params:
             h1 = _scpa(p, h1)
     h1 = _transformer_block(p1["1"]["arr"]["0"], h1)
+    return h1, h
+
+
+def scet_tail(params, hh, x_lr, *, upscale: int = 4):
+    """Both pixel-shuffle heads, summed (x_lr unused — uniform tail
+    signature for the stage-split runner)."""
+    del x_lr
+    h1, h = hh
+    p1 = params["path1"]
     # HR-tail bf16 is deliberately NOT wired here: on-chip A/B (batch 32:
     # 20.94 -> 20.30 ms/img, -3%) and at the real batch-64 cap the bf16 cast
     # OOMs HBM (XLA materializes f32 HR conv temps it otherwise fuses), i.e.
@@ -71,3 +83,7 @@ def scet_apply(params, x, *, n_scpa: int = 16, upscale: int = 4):
     h2 = ops.pixel_shuffle(h, upscale)
     h2 = ops.conv(params["path2"]["1"], h2)
     return h1 + h2
+
+
+def scet_apply(params, x, *, n_scpa: int = 16, upscale: int = 4):
+    return scet_tail(params, scet_body(params, x, n_scpa=n_scpa), x, upscale=upscale)

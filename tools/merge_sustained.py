@@ -56,11 +56,16 @@ def main(argv=None):
         r = upd.pop(key)
         name = key[len("stagesplit_"):]
         mid = r.get("model_id", int(re.match(r"-?\d+", name).group()))
-        upd[name] = {"model_id": mid, "batch": r["body_batch"],
-                     "chunk": r["chunk"], "reps": r.get("reps", 8),
-                     "mode": r["mode"], "size": r.get("size", 256),
-                     "method": "split",
-                     "ms_per_image_sustained": r["split_msimg"]}
+        row = {"model_id": mid, "batch": r["body_batch"],
+               "chunk": r["chunk"], "reps": r.get("reps", 8),
+               "mode": r["mode"], "size": r.get("size", 256),
+               "method": "split",
+               "ms_per_image_sustained": r["split_msimg"]}
+        # the update file may also carry a plain chain/fori row for the same
+        # model: keep whichever is faster (both are honest sustained numbers)
+        prev = upd.get(name)
+        if prev is None or row["ms_per_image_sustained"] < prev["ms_per_image_sustained"]:
+            upd[name] = row
     for name, row in upd.items():
         if name in base:
             # refuse to mix methodologies: a faster number measured under a
@@ -98,7 +103,9 @@ def main(argv=None):
     print(f"\ngeomean {geo:.1f}x  min {min(sps):.1f}x  max {max(sps):.1f}x  (n={len(sps)})")
 
     if args.write:
-        json.dump(base, open(args.base, "w"), indent=1)
+        with open(args.base, "w") as f:
+            json.dump(base, f, indent=1)
+            f.write("\n")
         print(f"merged -> {args.base}")
 
 

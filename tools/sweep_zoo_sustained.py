@@ -47,7 +47,7 @@ def main(argv=None):
     ap.add_argument("ids", nargs="*", type=int)
     ap.add_argument("--out", default="/tmp/zoo_sustained.json")
     ap.add_argument("--mode", default="high")
-    ap.add_argument("--method", default="fori", choices=["fori", "chain"])
+    ap.add_argument("--method", default="fori", choices=["fori", "chain", "split"])
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--iters", type=int, default=5)
@@ -59,13 +59,17 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ntire2022_esr_tpu import config
-    from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.harness import registry, stagesplit
     from ntire2022_esr_tpu.harness.profiling import chain_timer, fence, require_device
 
     require_device()
 
     config.set_mode(args.mode)
     ids = args.ids or registry.available_ids()
+    if args.method == "split":
+        # split dispatch is scheduled only for the sites the on-chip A/B
+        # measured faster (harness/stagesplit.py SHIPPED)
+        ids = [i for i in ids if i in stagesplit.SHIPPED]
 
     results = {}
     if os.path.exists(args.out):
@@ -109,12 +113,22 @@ def main(argv=None):
                     fence(jitted(params, x))
                     times.append(time.perf_counter() - t0)
                 return sorted(times)[len(times) // 2]
+        elif args.method == "split":
+            body, tail = stagesplit.get_split(mid)
+            chunk = stagesplit.SHIPPED[mid][1]
+
+            def measure(x, body=body, tail=tail, params=params, chunk=chunk):
+                return stagesplit.split_chain_timer(
+                    body, tail, params, x, chunk, args.reps, args.iters)
         else:
             # canonical chain-method timing (harness.profiling.chain_timer)
             def measure(x, apply=apply, params=params):
                 return chain_timer(apply, params, x, args.reps, args.iters)
 
-        batch = args.batch or SMALL_BATCH.get(mid, 32)
+        if args.method == "split":
+            batch = args.batch or stagesplit.SHIPPED[mid][0]
+        else:
+            batch = args.batch or SMALL_BATCH.get(mid, 32)
         med = None
         same_batch_retries = 0
         while batch >= 1:
@@ -163,7 +177,11 @@ def main(argv=None):
                          "mode": args.mode, "size": args.size,
                          "method": args.method,
                          "ms_per_image_sustained": ms_img}
-        json.dump(results, open(args.out, "w"), indent=1)
+        if args.method == "split":
+            results[name]["chunk"] = stagesplit.SHIPPED[mid][1]
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
         print(f"[{mid}] {name}: {ms_img:.2f} ms/img sustained "
               f"(batch {batch}, {args.method})", flush=True)
 
