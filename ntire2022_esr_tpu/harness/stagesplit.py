@@ -20,12 +20,16 @@ so split-vs-whole exactness holds by construction (regression-tested in
 tests/test_stagesplit.py).
 
 On-chip verdicts (tools/bench_stage_split.py; artifacts
-results/protocol/stage_split_r3*.json, ledger docs/RUNTIME_TPU.md):
-NASNetBN 17.75 -> 13.86 ms/img (body 128 / chunk 8) and LWFANet
-43.19 -> 40.87 (body 64 / chunk 8) WIN and ship in ``SHIPPED``;
-m_RFDN (36.7 vs 28.2), MobileSR (29.4 vs 27.3) and IMDTN (31.5 vs 30.6)
-measured SLOWER at their probed points — their splits stay available for
-A/B but are not scheduled.
+results/protocol/stage_split_r3*.json + _r4*.json, ledger
+docs/RUNTIME_TPU.md): LWFANet 42.89 -> **19.96** ms/img (body 128 /
+chunk 8, confirmed at reps 16) and NASNetBN 17.75 -> **13.86** (body 128
+/ chunk 8) WIN and ship in ``SHIPPED``. The post-split ceiling is real
+HBM, not the compile helper: body batches 192-256 OOM at compile (21.5-
+27.6 G vs 15.75 G). m_RFDN (36.7 vs 28.2 at 64/8; 96+ OOM), MobileSR
+(29.4 vs 27.3) and IMDTN (31.5 vs 30.6) measured SLOWER at every
+feasible point, and SCET's dual-path body output (two 64-lane LR maps
+per image) OOMs the chunked-tail schedule at its batch-64 operating
+point — their splits stay available for A/B but are not scheduled.
 
 Reference anchor: the reference runs strictly batch-1 single-executable
 inference (test_demo.py:364-391); this scheduling layer has no analogue
@@ -81,8 +85,8 @@ def split_ids():
 # docstring). The sustained sweep (tools/sweep_zoo_sustained.py --method
 # split) and serving read this table.
 SHIPPED: Dict[int, Tuple[int, int]] = {
-    27: (64, 8),   # LWFANet  43.19 -> 40.87 ms/img
-    28: (128, 8),  # NASNetBN 17.75 -> 13.86 ms/img
+    27: (128, 8),  # LWFANet  42.89 -> 19.96 ms/img (2.15x)
+    28: (128, 8),  # NASNetBN 17.75 -> 13.86 ms/img (1.28x)
 }
 
 
