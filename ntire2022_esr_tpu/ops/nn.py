@@ -79,6 +79,32 @@ def _block_diag_dense(w: jax.Array, groups: int) -> jax.Array:
         [w[:, :, :, gi * cout_g:(gi + 1) * cout_g] for gi in range(groups)])
 
 
+# f16 overflow guard. float16's finite range (+-65504) is narrower than
+# several dr=255 models' pre-activation values (FMEN/AALN observed ~1e5):
+# an unguarded cast produces inf and the first inf-inf downstream turns the
+# whole image NaN. In f16 tiers every lossy boundary saturates instead —
+# the cast into f16 clips in f32 first, and the (f16-typed) matmul/conv
+# output clips inf back to the max finite value. Zero-cost in every other
+# mode (the guards compile away), and a no-op wherever values stay in
+# range, so guarded f16 == unguarded f16 on the 40/42 models that never
+# overflowed.
+_F16_MAX = 65504.0
+
+
+def cast_compute(a: jax.Array, dtype) -> jax.Array:
+    """Cast to the compute dtype, saturating (not inf-ing) into float16."""
+    if dtype == jnp.float16 and a.dtype != jnp.float16:
+        a = jnp.clip(a, -_F16_MAX, _F16_MAX)
+    return a.astype(dtype)
+
+
+def saturate_f16(out: jax.Array) -> jax.Array:
+    """Clamp f16 accumulator overflow (inf) to the max finite f16."""
+    if out.dtype == jnp.float16:
+        return jnp.clip(out, -_F16_MAX, _F16_MAX)
+    return out
+
+
 def conv2d(
     x: jax.Array,
     w: jax.Array,
@@ -114,8 +140,8 @@ def conv2d(
         groups = 1
     nm = config.numerics()
     out = lax.conv_general_dilated(
-        x.astype(nm.compute_dtype),
-        w.astype(nm.compute_dtype),
+        cast_compute(x, nm.compute_dtype),
+        cast_compute(w, nm.compute_dtype),
         window_strides=s,
         padding=((ph, ph), (pw, pw)),
         rhs_dilation=d,
@@ -125,7 +151,7 @@ def conv2d(
     )
     if b is not None:
         out = out + b.astype(out.dtype)
-    return out
+    return saturate_f16(out)
 
 
 def conv(p: Params, x: jax.Array, **kw) -> jax.Array:
@@ -163,8 +189,8 @@ def conv_transpose2d(
     oph, opw = _pair(output_padding)
     nm = config.numerics()
     out = lax.conv_general_dilated(
-        x.astype(nm.compute_dtype),
-        w.astype(nm.compute_dtype),
+        cast_compute(x, nm.compute_dtype),
+        cast_compute(w, nm.compute_dtype),
         window_strides=(1, 1),
         padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
         lhs_dilation=s,
@@ -174,20 +200,20 @@ def conv_transpose2d(
     )
     if b is not None:
         out = out + b.astype(out.dtype)
-    return out
+    return saturate_f16(out)
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
     """Dense layer on the last axis; weight stored (in, out)."""
     nm = config.numerics()
     out = jnp.dot(
-        x.astype(nm.compute_dtype),
-        p["weight"].astype(nm.compute_dtype),
+        cast_compute(x, nm.compute_dtype),
+        cast_compute(p["weight"], nm.compute_dtype),
         precision=nm.matmul_precision,
     )
     if "bias" in p and p["bias"] is not None:
         out = out + p["bias"].astype(out.dtype)
-    return out
+    return saturate_f16(out)
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +283,11 @@ def avg_pool2d(x: jax.Array, kernel: IntOr2, stride: Optional[IntOr2] = None,
     kh, kw = _pair(kernel)
     sh, sw = _pair(stride if stride is not None else kernel)
     ph, pw = _pair(padding)
+    # f16 guard: window sums overflow float16's +-65504 at dr=255 activation
+    # scales; accumulate in f32 and cast back (free in every other dtype)
+    in_dtype = x.dtype
+    if in_dtype == jnp.float16:
+        x = x.astype(jnp.float32)
     summed = lax.reduce_window(
         x, jnp.array(0, x.dtype), lax.add,
         window_dimensions=(1, kh, kw, 1),
@@ -264,7 +295,7 @@ def avg_pool2d(x: jax.Array, kernel: IntOr2, stride: Optional[IntOr2] = None,
         padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
     )
     if count_include_pad or (ph == 0 and pw == 0):
-        return summed / (kh * kw)
+        return (summed / (kh * kw)).astype(in_dtype)
     ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
     cnt = lax.reduce_window(
         ones, jnp.array(0, x.dtype), lax.add,
@@ -272,12 +303,18 @@ def avg_pool2d(x: jax.Array, kernel: IntOr2, stride: Optional[IntOr2] = None,
         window_strides=(1, sh, sw, 1),
         padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
     )
-    return summed / cnt
+    return (summed / cnt).astype(in_dtype)
+
+
+def _acc_dtype(x: jax.Array):
+    """f32 accumulation for f16 inputs (sums overflow f16's finite range)."""
+    return jnp.float32 if x.dtype == jnp.float16 else x.dtype
 
 
 def global_avg_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
     """AdaptiveAvgPool2d(1) on NHWC."""
-    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims,
+                    dtype=_acc_dtype(x)).astype(x.dtype)
 
 
 def global_max_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
@@ -287,9 +324,11 @@ def global_max_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
 def global_std_pool(x: jax.Array, keepdims: bool = True) -> jax.Array:
     """torch.std over spatial dims (unbiased, as torch defaults)."""
     n = x.shape[1] * x.shape[2]
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.sum((x - mean) ** 2, axis=(1, 2), keepdims=keepdims) / max(n - 1, 1)
-    return jnp.sqrt(var)
+    acc = _acc_dtype(x)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=acc)
+    var = jnp.sum((x.astype(acc) - mean) ** 2, axis=(1, 2),
+                  keepdims=keepdims, dtype=acc) / max(n - 1, 1)
+    return jnp.sqrt(var).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -305,6 +344,21 @@ def batch_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     if "weight" in p:
         out = out * p["weight"].astype(x.dtype)
     if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def instance_norm(p: Optional[Params], x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm2d (per-sample, per-channel over H, W; torch eval
+    semantics with track_running_stats=False: normalize by the instance
+    statistics). ``p`` carries the optional affine weight/bias."""
+    acc = _acc_dtype(x)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=acc).astype(x.dtype)
+    var = jnp.var(x.astype(acc), axis=(1, 2), keepdims=True).astype(x.dtype)
+    out = (x - mean) * lax.rsqrt(var + eps)
+    if p and "weight" in p:
+        out = out * p["weight"].astype(x.dtype)
+    if p and "bias" in p:
         out = out + p["bias"].astype(x.dtype)
     return out
 

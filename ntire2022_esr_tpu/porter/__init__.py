@@ -5,3 +5,7 @@ from ntire2022_esr_tpu.porter.convert import (  # noqa: F401
     save_params,
 )
 from ntire2022_esr_tpu.porter.reader import read_torch_checkpoint  # noqa: F401
+from ntire2022_esr_tpu.porter.reparam import (  # noqa: F401
+    fold_linear_block,
+    fold_linear_block_tree,
+)

@@ -100,3 +100,55 @@ def test_npz_cache_roundtrip(tmp_path, rng):
     back = porter.load_params(path)
     np.testing.assert_array_equal(back["x"]["weight"], tree["x"]["weight"])
     np.testing.assert_array_equal(back["y"], tree["y"])
+
+
+# ---------------------------------------------------------------------------
+# Analytic reparam fold (porter/reparam.py vs team29_clrfdn.py:221-244)
+# ---------------------------------------------------------------------------
+
+def _linearblock_case(tag):
+    import os
+
+    z = np.load(os.path.join(os.path.dirname(__file__), "goldens", "blocks.npz"))
+    prefix = f"linearblock_{tag}/"
+    c = {k[len(prefix):]: z[k] for k in z.files if k.startswith(prefix)}
+    return c
+
+
+@pytest.mark.parametrize("tag,with_idt", [("linear", False), ("idt", True),
+                                          ("prelu", False)])
+def test_fold_linear_block_matches_reference(tag, with_idt):
+    c = _linearblock_case(tag)
+    rk, rb = porter.fold_linear_block(
+        c["p/conv3x3.weight"], c["p/conv3x3.bias"],
+        c["p/conv1x1.weight"], c["p/conv1x1.bias"], with_idt=with_idt)
+    np.testing.assert_allclose(rk, c["p/rep/weight"], atol=1e-6, rtol=0)
+    np.testing.assert_allclose(rb, c["p/rep/bias"], atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize("tag,with_idt", [("linear", False), ("idt", True),
+                                          ("prelu", False)])
+def test_folded_conv_matches_torch_forward(tag, with_idt):
+    from ntire2022_esr_tpu import ops
+
+    c = _linearblock_case(tag)
+    tree = porter.nest({k[2:]: v for k, v in c.items() if k.startswith("p/")
+                        and not k.startswith("p/rep/")})
+    folded = porter.fold_linear_block_tree(tree, with_idt=with_idt)
+    x = np.transpose(c["x"], (0, 2, 3, 1))
+    y = ops.conv(folded, x)
+    if tag == "prelu":
+        y = ops.prelu(y, folded["act"]["weight"])
+    np.testing.assert_allclose(np.asarray(y), np.transpose(c["y"], (0, 2, 3, 1)),
+                               atol=2e-6, rtol=0)
+
+
+def test_fold_linear_block_validation():
+    w3 = np.zeros((3, 3, 4, 8), np.float32)
+    w1 = np.zeros((1, 1, 8, 6), np.float32)
+    with pytest.raises(ValueError, match="identity fold"):
+        porter.fold_linear_block(w3, None, w1, None, with_idt=True)
+    with pytest.raises(ValueError, match="mid-channel"):
+        porter.fold_linear_block(w3, None, np.zeros((1, 1, 5, 6), np.float32), None)
+    with pytest.raises(ValueError, match="3x3 then 1x1"):
+        porter.fold_linear_block(w1, None, w1, None)
