@@ -14,9 +14,14 @@ from ntire2022_esr_tpu.models import blocks
 
 
 def _stdv_biased(x):
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.sum((x - mean) ** 2, axis=(1, 2), keepdims=True) / (x.shape[1] * x.shape[2])
-    return jnp.sqrt(var)
+    # statistics stay f32 in the f16 tier: (x - mean)^2 of dr=255-scale
+    # activations overflows float16 elementwise (255^2 ~ f16 max) and the
+    # spatial sum overflows outright (ops/nn.py f16 guard rationale)
+    acc = jnp.float32 if x.dtype == jnp.float16 else x.dtype
+    xa = x.astype(acc)
+    mean = jnp.mean(xa, axis=(1, 2), keepdims=True)
+    var = jnp.sum((xa - mean) ** 2, axis=(1, 2), keepdims=True) / (x.shape[1] * x.shape[2])
+    return jnp.sqrt(var).astype(x.dtype)
 
 
 def _nca(p, x):

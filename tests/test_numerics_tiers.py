@@ -1,0 +1,65 @@
+"""Reduced-precision tier safety: the f16 overflow guard.
+
+Round-3 finding (commit bac7290): FMEN (3) and AALN (11) — dr=255 models
+with ~1e5-scale pre-activations — overflowed float16 to NaN in the fast16
+tier. The guard (ops/nn.py: saturating casts + f16-inf clamp on conv/
+linear outputs + f32 accumulation for f16 reductions; models/aaln.py f32
+statistics) keeps every model finite. Quality eligibility per model is a
+separate, measured gate (tools/validate_numerics.py) — finiteness is the
+safety floor this file pins.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ntire2022_esr_tpu import config, ops
+from ntire2022_esr_tpu.harness import registry
+
+
+@pytest.mark.parametrize("mid", [3, 11])
+def test_fast16_overflow_models_stay_finite(mid, rng):
+    apply, params, name, dr, _ = registry.build_model(mid)
+    x = jnp.asarray(rng.rand(1, 48, 48, 3).astype(np.float32) * dr)
+    with config.numerics_mode("fast16"):
+        y = np.asarray(jax.jit(lambda p, a: apply(p, a))(params, x),
+                       dtype=np.float32)
+    assert np.isfinite(y).all(), f"{name}: fast16 produced non-finite values"
+
+
+def test_fast16_guard_does_not_change_in_range_outputs(rng):
+    # a model that never overflowed must be bit-identical with the guard
+    # (clip at +-65504 is a no-op in range); RLFN (4), dr=255
+    apply, params, name, dr, _ = registry.build_model(4)
+    x = jnp.asarray(rng.rand(1, 24, 24, 3).astype(np.float32) * dr)
+    with config.numerics_mode("fast16"):
+        y = np.asarray(jax.jit(lambda p, a: apply(p, a))(params, x),
+                       dtype=np.float32)
+    assert np.isfinite(y).all()
+    # and quality stays at the tier's expected level vs parity
+    ref = np.asarray(jax.jit(lambda p, a: apply(p, a))(params, x))
+    mse = np.mean((np.clip(ref, 0, dr) - np.clip(y, 0, dr)) ** 2) / dr ** 2
+    assert 10 * np.log10(1 / max(mse, 1e-12)) > 55
+
+
+def test_saturating_cast_and_clamp():
+    big = jnp.asarray([1e6, -1e6, 3.0], jnp.float32)
+    out = ops.nn.cast_compute(big, jnp.float16)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    inf16 = jnp.asarray([np.inf, -np.inf, 1.0], jnp.float16)
+    sat = ops.nn.saturate_f16(inf16)
+    assert np.isfinite(np.asarray(sat, np.float32)).all()
+    # other dtypes pass through untouched
+    f32 = jnp.asarray([np.inf], jnp.float32)
+    assert np.isinf(np.asarray(ops.nn.saturate_f16(f32))).all()
+
+
+def test_f16_pool_reductions_do_not_overflow():
+    x = jnp.full((1, 48, 48, 8), 200.0, jnp.float16)
+    for fn in (lambda v: ops.global_avg_pool(v),
+               lambda v: ops.global_std_pool(v),
+               lambda v: ops.avg_pool2d(v, 7, 3)):
+        out = np.asarray(fn(x), np.float32)
+        assert np.isfinite(out).all()
+    assert abs(float(ops.global_avg_pool(x)[0, 0, 0, 0]) - 200.0) < 1.0
