@@ -2,7 +2,11 @@
 
     python -m ntire2022_esr_tpu.harness.cli --data_dir D --save_dir S \
         --model_id N [--include_test] [--ssim] [--mode parity|high|mixed|fast] \
-        [--batched] [--mesh N] [--spatial] [--x8]
+        [--batched] [--mesh N] [--spatial] [--space S] [--x8]
+
+``--batched --spatial --mesh N`` composes both parallelism axes on a 2-D
+(data, space) mesh: N/S batch-parallel groups, each H-slab sharded S ways
+with halo exchange (slab-safe models only).
 
 Evaluates one zoo model on DIV2K val (optionally test), accumulates
 results.json / results.txt in the cwd, and logs per-image PSNR. A failed
@@ -34,17 +38,22 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
     mesh = None
     if getattr(args, "spatial", False):
         # refuse silently-unsharded configurations: --spatial needs a mesh
-        # and is a sequential-path feature
         if not getattr(args, "mesh", 0):
             raise ValueError("--spatial requires --mesh N")
-        if getattr(args, "batched", False):
-            raise ValueError("--spatial and --batched are mutually exclusive "
-                             "(spatial shards one image's H axis; batched "
-                             "shards the image batch)")
     if getattr(args, "mesh", 0):
-        from ntire2022_esr_tpu.parallel import make_mesh
+        from ntire2022_esr_tpu.parallel import data_space_mesh, make_mesh
 
-        mesh = make_mesh(args.mesh)
+        if getattr(args, "spatial", False) and getattr(args, "batched", False):
+            # composed 2-D (data, space) mesh: batch-parallel groups of
+            # H-slab shards — big-tail models use N chips as (N/space, space)
+            # without choosing one axis (parallel/spatial.py batch_axis)
+            space = getattr(args, "space", 2) or 2
+            if args.mesh % space:
+                raise ValueError(f"--mesh {args.mesh} must divide by "
+                                 f"--space {space} for the composed path")
+            mesh = data_space_mesh(args.mesh // space, space)
+        else:
+            mesh = make_mesh(args.mesh)
 
     def _pairs(mode):
         # tolerate partial datasets (the reference hard-codes 100 ids and
@@ -63,11 +72,19 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
 
     if getattr(args, "batched", False) and tile is None:
         u8_io = getattr(args, "u8_io", False)
+        spec = registry.get_spec(model_id)
+        if mesh is not None and "space" in mesh.shape and not spec.slab_safe:
+            raise ValueError(
+                f"model {model_id} ({model_name}) is not slab-decomposable; "
+                "the composed --batched --spatial path needs slab_safe models "
+                "— use plain --batched --mesh N instead")
         entry = runner.run_batched(apply, params, model_name, data_range, logger, args,
-                                   mode="valid", mesh=mesh, u8_io=u8_io, pairs=_pairs("valid"))
+                                   mode="valid", mesh=mesh, u8_io=u8_io,
+                                   spatial_overlap=spec.halo, pairs=_pairs("valid"))
         if args.include_test:
             entry.update(runner.run_batched(apply, params, model_name, data_range, logger, args,
                                             mode="test", mesh=mesh, u8_io=u8_io,
+                                            spatial_overlap=spec.halo,
                                             pairs=_pairs("test")))
     else:
         spatial_mesh = mesh if getattr(args, "spatial", False) else None
@@ -129,7 +146,11 @@ def main(argv=None):
                         help="shard over the first N devices (with --batched: data-parallel "
                              "batch; with --spatial: H-slab shard per image)")
     parser.add_argument("--spatial", action="store_true",
-                        help="H-slab spatial sharding with halo exchange (needs --mesh N)")
+                        help="H-slab spatial sharding with halo exchange (needs --mesh N); "
+                             "with --batched: composed 2-D (data, space) mesh")
+    parser.add_argument("--space", default=2, type=int, metavar="S",
+                        help="space-axis width of the composed --batched --spatial "
+                             "mesh (mesh = (N/S, S); default 2)")
     parser.add_argument("--x8", action="store_true",
                         help="x8 dihedral self-ensemble inference")
     args = parser.parse_args(argv)

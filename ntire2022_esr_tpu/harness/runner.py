@@ -183,6 +183,7 @@ def run_batched(
     pairs: Optional[List[Tuple[str, str]]] = None,
     mesh=None,
     u8_io: bool = False,
+    spatial_overlap: int = 32,
 ) -> Dict:
     """Shape-bucketed batched evaluation (throughput path).
 
@@ -231,10 +232,23 @@ def run_batched(
         device_fn = apply_u8
     else:
         device_fn = apply
-    if mesh is not None:
+    pad_to = 0
+    if mesh is not None and "space" in mesh.shape:
+        # 2-D (data, space) mesh: batch-parallel groups of H-slab shards —
+        # the composed path behind `--batched --spatial --mesh N`. The u8
+        # wrapper stays slab-exact (pointwise conversions). The batch pads
+        # to the DATA axis only; H-shardability is per shape
+        # (halo/windowed, parallel/spatial.py).
+        from ntire2022_esr_tpu.parallel.spatial import make_spatial_apply
+
+        jitted = make_spatial_apply(device_fn, mesh, overlap=spatial_overlap,
+                                    axis="space", batch_axis="data")
+        pad_to = mesh.shape["data"]
+    elif mesh is not None:
         from ntire2022_esr_tpu.parallel import sharded_batch_apply
 
         jitted = sharded_batch_apply(device_fn, mesh)
+        pad_to = mesh.devices.size
     else:
         jitted = jax.jit(device_fn)
 
@@ -244,9 +258,8 @@ def run_batched(
             batch = np.stack([lr for _, _, lr in items])
         else:
             batch = np.stack([img_util.uint2nhwc(lr, data_range)[0] for _, _, lr in items])
-        if mesh is not None:
-            nd = mesh.devices.size
-            pad = (-len(items)) % nd
+        if pad_to:
+            pad = (-len(items)) % pad_to
             if pad:
                 batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
         dev_batch = jax.device_put(batch)

@@ -1,4 +1,8 @@
-from ntire2022_esr_tpu.parallel.mesh import data_mesh, make_mesh  # noqa: F401
+from ntire2022_esr_tpu.parallel.mesh import (  # noqa: F401
+    data_mesh,
+    data_space_mesh,
+    make_mesh,
+)
 from ntire2022_esr_tpu.parallel.eval import (  # noqa: F401
     sharded_batch_apply,
     sharded_eval_step,

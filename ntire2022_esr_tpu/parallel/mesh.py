@@ -17,15 +17,36 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
-    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+def make_mesh(shape: "Optional[int | Sequence[int]]" = None,
+              axis_names: Optional[Sequence[str]] = None) -> Mesh:
+    """Mesh over the first devices: 1-D (``shape`` an int or None = all
+    devices, axis "data") or N-D (``shape`` a tuple, e.g. ``(4, 2)`` with
+    axes ``("data", "space")`` — batch-parallel groups of H-slab shards,
+    both riding ICI)."""
     devices = jax.devices()
-    if n_devices is not None:
-        if n_devices > len(devices):
-            raise ValueError(f"requested {n_devices} devices, have {len(devices)}")
-        devices = devices[:n_devices]
-    return Mesh(np.asarray(devices).reshape(len(devices)), axis_names)
+    if shape is None or isinstance(shape, int):
+        n = len(devices) if shape is None else int(shape)
+        if n > len(devices):
+            raise ValueError(f"requested {n} devices, have {len(devices)}")
+        return Mesh(np.asarray(devices[:n]).reshape(n),
+                    tuple(axis_names or ("data",)))
+    shape = tuple(int(s) for s in shape)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"requested {shape} = {n} devices, have {len(devices)}")
+    if axis_names is None:
+        axis_names = ("data", "space")[: len(shape)]
+    if len(axis_names) != len(shape):
+        raise ValueError(f"{len(shape)}-D mesh needs {len(shape)} axis names, "
+                         f"got {tuple(axis_names)}")
+    return Mesh(np.asarray(devices[:n]).reshape(shape), tuple(axis_names))
 
 
 def data_mesh(n_devices: Optional[int] = None) -> Mesh:
     return make_mesh(n_devices, ("data",))
+
+
+def data_space_mesh(data: int, space: int) -> Mesh:
+    """2-D (data, space) mesh: ``data`` batch-parallel groups x ``space``
+    H-slab shards (parallel/spatial.py composes over both axes)."""
+    return make_mesh((data, space), ("data", "space"))

@@ -38,12 +38,21 @@ def make_spatial_apply(
     overlap: int = 32,
     scale: int = 4,
     axis: str = "data",
+    batch_axis: "str | None" = None,
 ) -> Callable:
     """Build a reusable H-sharded forward: ``fn(params, x) -> y``.
 
     The shard_map is constructed once, so repeated calls share jax.jit's
     shape-keyed compile cache (one compile per distinct image shape).
     x: (N, H, W, C); returns the full (N, H*scale, W*scale, C') output.
+
+    ``batch_axis`` composes batch parallelism with the H-slab sharding on
+    a 2-D mesh (mesh.data_space_mesh): the batch is sharded over
+    ``batch_axis`` while each batch group H-shards over ``axis`` — e.g. 8
+    chips as 4x2 so big-tail models need not choose between ``--batched``
+    and ``--spatial``. The batch must divide by mesh.shape[batch_axis];
+    the halo ppermute rides only the ``axis`` (space) dimension, so the
+    collective pattern is identical to the 1-D case within each group.
 
     Two schemes, picked per input shape:
 
@@ -61,6 +70,8 @@ def make_spatial_apply(
     identical to overlap-tiled inference (harness/tiling.py).
     """
     n_dev = mesh.shape[axis]
+    n_batch = mesh.shape[batch_axis] if batch_axis else 1
+    bspec = batch_axis if batch_axis else None
 
     def slab_fn(p, xs):
         # xs: (N, H/n_dev, W, C) local slab
@@ -85,8 +96,8 @@ def make_spatial_apply(
 
     sharded = shard_map(
         slab_fn, mesh=mesh,
-        in_specs=(P(), P(None, axis, None, None)),
-        out_specs=P(None, axis, None, None),
+        in_specs=(P(), P(bspec, axis, None, None)),
+        out_specs=P(bspec, axis, None, None),
         check_rep=False,
     )
     jitted = jax.jit(sharded)
@@ -114,8 +125,8 @@ def make_spatial_apply(
 
         win_sharded = shard_map(
             slab_fn, mesh=mesh,
-            in_specs=(P(), P()),
-            out_specs=P(None, axis, None, None),
+            in_specs=(P(), P(bspec)),
+            out_specs=P(bspec, axis, None, None),
             check_rep=False,
         )
 
@@ -134,17 +145,21 @@ def make_spatial_apply(
 
     def fn(params, x):
         n, h, w, c = x.shape
-        if n_dev == 1:
+        if batch_axis and n % n_batch:
+            raise ValueError(
+                f"batch {n} must divide by the {batch_axis!r} mesh axis "
+                f"({n_batch}); pad the batch (harness/serving.py does)")
+        if n_dev == 1 and n_batch == 1:
             return plain(params, x)
         if h % n_dev == 0 and overlap <= h // n_dev:
-            xs = jax.device_put(x, NamedSharding(mesh, P(None, axis, None, None)))
+            xs = jax.device_put(x, NamedSharding(mesh, P(bspec, axis, None, None)))
             return jitted(params, xs)
         s = -(-h // n_dev)
         if s + 2 * overlap > h:
             raise SpatialShardUnavailable(
                 f"H={h} too small to shard over {n_dev} devices with overlap "
                 f"{overlap} (window {s + 2 * overlap} rows exceeds the image)")
-        xr = jax.device_put(x, NamedSharding(mesh, P()))
+        xr = jax.device_put(x, NamedSharding(mesh, P(bspec)))
         return _windowed(h)(params, xr)
 
     return fn

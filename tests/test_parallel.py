@@ -193,3 +193,99 @@ def test_spatial_shard_too_small_h_raises(rng):
     x = jnp.asarray(rng.rand(1, 33, 16, 3).astype(np.float32))
     with pytest.raises(ValueError, match="too small"):
         fn({"w": np.float32(1.0)}, x)
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh composition: batch ("data") x H-slab ("space")
+# ---------------------------------------------------------------------------
+
+def test_data_space_mesh_shape():
+    from ntire2022_esr_tpu.parallel import data_space_mesh
+
+    mesh = data_space_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "space": 2}
+    with pytest.raises(ValueError, match="devices"):
+        data_space_mesh(8, 2)
+    from ntire2022_esr_tpu.parallel import make_mesh as mm
+    with pytest.raises(ValueError, match="axis names"):
+        mm((4, 2), ("data",))
+
+
+def test_batch_spatial_composed_exact_halo(rng):
+    """4x2 mesh, H divisible (halo scheme): composed == single-device."""
+    from ntire2022_esr_tpu.parallel import data_space_mesh
+    from ntire2022_esr_tpu.parallel.spatial import make_spatial_apply
+
+    mesh = data_space_mesh(4, 2)
+    params = {"w": np.float32(2.0)}
+    x = jnp.asarray(rng.rand(8, 64, 40, 3).astype(np.float32))
+    ref = _toy_apply(params, x)
+    fn = make_spatial_apply(_toy_apply, mesh, overlap=4, axis="space",
+                            batch_axis="data")
+    np.testing.assert_allclose(np.asarray(fn(params, x)), np.asarray(ref),
+                               rtol=1e-6)
+
+
+def test_batch_spatial_composed_zoo_model_odd_h(rng):
+    """2x2 mesh over a real slab-safe zoo model at an odd H (windowed
+    scheme): composed == unsharded forward."""
+    from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.parallel import data_space_mesh
+    from ntire2022_esr_tpu.parallel.spatial import make_spatial_apply
+
+    spec = registry.get_spec(3)  # FMEN, slab_safe
+    apply, params, name, data_range, tile = registry.build_model(3)
+    mesh = data_space_mesh(2, 2)
+    h = 4 * spec.halo + 17  # odd, not divisible by the space axis, and
+    # large enough for the windowed scheme (ceil(h/2) + 2*halo <= h)
+    x = jnp.asarray(rng.rand(2, h, 24, 3).astype(np.float32) * data_range)
+    ref = np.asarray(jax.jit(apply)(params, x))
+    fn = make_spatial_apply(apply, mesh, overlap=spec.halo, axis="space",
+                            batch_axis="data")
+    out = np.asarray(fn(params, x))
+    np.testing.assert_allclose(out, ref, atol=2e-5 * data_range, rtol=1e-5)
+
+
+def test_batch_spatial_batch_divisibility(rng):
+    from ntire2022_esr_tpu.parallel import data_space_mesh
+    from ntire2022_esr_tpu.parallel.spatial import make_spatial_apply
+
+    mesh = data_space_mesh(4, 2)
+    fn = make_spatial_apply(_toy_apply, mesh, overlap=4, axis="space",
+                            batch_axis="data")
+    x = jnp.zeros((3, 64, 40, 3), jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        fn({"w": np.float32(1.0)}, x)
+
+
+def test_cli_composed_batched_spatial(tmp_path, rng):
+    """--batched --spatial --mesh 4 --space 2: the composed 2-D path runs
+    end-to-end on a slab-safe model and scores finite PSNR."""
+    import logging
+    import types
+
+    from ntire2022_esr_tpu.harness import cli
+    from ntire2022_esr_tpu.utils import image as img_util
+
+    data = tmp_path / "DIV2K_valid_HR"
+    lr_dir = tmp_path / "DIV2K_valid_LR"
+    data.mkdir(); lr_dir.mkdir()
+    for k in (801, 802, 803):  # ragged (3 images over 2 data groups)
+        hr = rng.randint(0, 256, (256, 64, 3)).astype(np.uint8)  # LR 64 rows
+        # -> 32-row slabs over the 2-way space axis, >= MDGN's halo of 24
+        img_util.imsave(hr, str(data / f"{k:04d}.png"))
+        img_util.imsave(hr[::4, ::4], str(lr_dir / f"{k:04d}x4.png"))
+    args = types.SimpleNamespace(save_dir=str(tmp_path / "out"), ssim=False,
+                                 x8=False, batched=True, include_test=False,
+                                 mesh=4, space=2, spatial=True, u8_io=False,
+                                 data_dir=str(tmp_path))
+    logger = logging.getLogger("test_cli_composed")
+    logger.addHandler(logging.NullHandler())
+    name, entry = cli.evaluate_model(24, args, logger)  # MDGN, slab_safe
+    assert len(entry["valid_psnr"]) == 3
+    assert all(np.isfinite(p) for p in entry["valid_psnr"])
+
+    # and the unsafe-model refusal on the composed path
+    args.model_id = 4
+    with pytest.raises(ValueError, match="slab-decomposable"):
+        cli.evaluate_model(4, args, logger)

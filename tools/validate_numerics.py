@@ -7,7 +7,17 @@ scoring domain. Reports the implied PSNR between modes — a proxy for the
 DIV2K PSNR shift when choosing a faster mode (>= ~55 dB between-mode PSNR
 keeps the benchmark PSNR within ~0.01 dB).
 
-Usage: python tools/validate_numerics.py [id ...]
+With ``--data_dir <surrogate DIV2K dir>`` it additionally measures the
+BENCHMARK-level delta per mode: mean challenge-protocol PSNR vs HR
+(border=4, modcrop; reference test_demo.py:439-447) over the surrogate
+images, minus the parity arm's. This is the honest AUTO gate — a tier
+whose between-mode proxy reads 55-65 dB can still shift the benchmark
+score by <= 0.01 dB (the reference's own reproducibility bar), and it is
+the benchmark shift that the challenge's fp32 eval contract constrains.
+Rows append to ``--out`` (results/protocol/numerics_delta_r4.json).
+
+Usage: python tools/validate_numerics.py [id ...] [--modes high,fast16]
+       [--tail f16] [--data_dir /tmp/div2k_surrogate --images 4]
 """
 
 from __future__ import annotations
@@ -50,10 +60,52 @@ def main(argv=None):
     ap.add_argument("--modes", default="high,mixed,fast",
                     help="comma-separated non-parity modes to column "
                          "(e.g. high,mixed,fast,fast16)")
+    ap.add_argument("--data_dir", default=None,
+                    help="surrogate DIV2K dir (tools/make_surrogate_div2k.py) "
+                         "-> also measure benchmark-level PSNR deltas vs HR")
+    ap.add_argument("--images", type=int, default=4,
+                    help="surrogate images per model for the benchmark delta")
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "results", "protocol", "numerics_delta_r4.json"),
+        help="benchmark-delta artifact (appended per model/tier)")
     args = ap.parse_args(argv)
     ids = args.ids or registry.available_ids()
     gdir = os.path.join(REPO, "tests", "goldens")
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+
+    pairs = []
+    if args.data_dir:
+        import json
+
+        from ntire2022_esr_tpu.harness.data import select_dataset
+        from ntire2022_esr_tpu.harness.tiling import tiled_apply
+        from ntire2022_esr_tpu.utils import image as img_util
+        from ntire2022_esr_tpu.utils.metrics import calculate_psnr
+
+        pairs = select_dataset(args.data_dir, "valid")[: args.images]
+        bench = {}
+        if os.path.exists(args.out):
+            bench = json.load(open(args.out))
+
+        def protocol_psnr(spec, params, dr):
+            """Mean challenge-protocol PSNR vs HR in the CURRENT numerics
+            config (modcrop + border=4, reference test_demo.py:439-447)."""
+            f = jax.jit(lambda p, a: spec.apply(p, a))
+            vals = []
+            for lr_path, hr_path in pairs:
+                lr = img_util.imread_uint(lr_path)
+                hr = img_util.imread_uint(hr_path)
+                x = img_util.uint2nhwc(lr, dr)
+                if spec.tile:
+                    y = tiled_apply(spec.apply, params, x, spec.tile,
+                                    max_tiles_per_call=spec.max_tiles_per_call)
+                else:
+                    y = f(params, x)
+                sr = img_util.nhwc2uint(np.asarray(y, np.float32), dr)
+                hr_m = img_util.modcrop(hr, 4)
+                vals.append(calculate_psnr(
+                    sr.astype(np.float64), hr_m.astype(np.float64), border=4))
+            return float(np.mean(vals))
 
     print(f"{'model':22} " + " ".join(f"{m + ' dB':>10}" for m in modes))
     for mid in ids:
@@ -101,6 +153,40 @@ def main(argv=None):
 
         print(f"{spec.name:22} " + " ".join(
             f"{psnr(outs['parity'], outs[m]):10.2f}" for m in modes), flush=True)
+
+        if pairs:
+            # benchmark-level deltas: protocol PSNR vs HR per mode, minus
+            # the parity arm, measured on the same surrogate images
+            config.set_mode("parity")
+            config.set_attn_bf16("off")
+            config.set_hr_tail("off")
+            try:
+                base = protocol_psnr(spec, params, dr)
+            finally:
+                config.set_attn_bf16(prev_attn)
+                config.set_hr_tail(prev_tail)
+            row = {"model_id": mid, "images": len(pairs),
+                   "attn": args.attn, "tail": args.tail,
+                   "parity_psnr": base, "delta_db": {}}
+            for mode in modes:
+                config.set_mode(mode)
+                config.set_attn_bf16(prev_attn if args.attn == "auto" else args.attn)
+                config.set_hr_tail(prev_tail if tail_force == "auto" else tail_force)
+                try:
+                    p_mode = protocol_psnr(spec, params, dr)
+                finally:
+                    config.set_attn_bf16(prev_attn)
+                    config.set_hr_tail(prev_tail)
+                row["delta_db"][mode] = p_mode - base
+                print(f"  benchmark {mode:8} (attn={args.attn}, tail={args.tail}): "
+                      f"{p_mode:.4f} dB vs parity {base:.4f} "
+                      f"(delta {p_mode - base:+.4f})", flush=True)
+            key = f"{spec.name}|attn={args.attn}|tail={args.tail}|" + ",".join(modes)
+            bench[key] = row
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "w") as fh:
+                json.dump(bench, fh, indent=1)
+                fh.write("\n")
 
 
 if __name__ == "__main__":
