@@ -119,6 +119,26 @@ def mode() -> str:
 _densify_grouped = os.environ.get("NTIRE_DENSIFY_GROUPED", "0") == "1"
 
 
+# int8 weight storage tier ("w8", porter/quant.py): per-output-channel
+# symmetric int8 weights dequantized at use in the active compute dtype.
+# Weight-storage-only — activations/accumulation keep the active mode. 4x
+# smaller resident params than f32 (memory is a scored axis,
+# reference README.md:6-24); quality per model is measured, not assumed
+# (docs/RUNTIME_TPU.md). Opt-in: NTIRE_W8=1 or set_weights_int8(True) —
+# build_model quantizes at load when on.
+
+_weights_int8 = os.environ.get("NTIRE_W8", "0") == "1"
+
+
+def weights_int8() -> bool:
+    return _weights_int8
+
+
+def set_weights_int8(value: bool) -> None:
+    global _weights_int8
+    _weights_int8 = bool(value)
+
+
 def densify_grouped() -> bool:
     return _densify_grouped
 

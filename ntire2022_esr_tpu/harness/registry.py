@@ -131,4 +131,13 @@ def build_model(model_id: int, weights_dir: Optional[str] = None,
     params = load_params(spec, weights_dir, zoo_dir)
     if apply_load_transform and spec.load_transform is not None:
         params = spec.load_transform(params)
+    if apply_load_transform:
+        from ntire2022_esr_tpu import config
+
+        if config.weights_int8():
+            # the w8 serving tier (porter/quant.py): int8 weight storage,
+            # dequantized at use; never baked into the npz cache
+            from ntire2022_esr_tpu.porter.quant import quantize_params_int8
+
+            params = quantize_params_int8(params)
     return spec.apply, params, spec.name, spec.data_range, spec.tile

@@ -235,7 +235,7 @@ def mode_conv(p: Params, x, mode: str, *, negative_slope: float = 0.2,
             x = ops.conv(sub(i), x, stride=stride, padding=padding)
         elif t == "T":
             q = sub(i)
-            x = ops.conv_transpose2d(x, q["weight"], q.get("bias"),
+            x = ops.conv_transpose2d(x, ops.nn.dequant_weight(q), q.get("bias"),
                                      stride=stride, padding=padding)
         elif t == "B":
             x = ops.batch_norm(sub(i), x, eps=_MODE_BN_EPS)

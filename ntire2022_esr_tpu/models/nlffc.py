@@ -44,7 +44,8 @@ def _ffcu(p, x):
         # the unsplit input: half the dispatches, 2x the output lanes at
         # the model's lane-starved 16-channel width; exact up to f32
         # reassociation (off-block weights are zero)
-        w1, w2 = p["conv1"]["weight"], p["conv2"]["weight"]
+        w1 = ops.nn.dequant_weight(p["conv1"])
+        w2 = ops.nn.dequant_weight(p["conv2"])
         w = ops.block_diag_weights([w1, w2])
         b = ops.concat_biases([(p["conv1"].get("bias"), loc),
                                (p["conv2"].get("bias"), c - loc)], w.dtype)

@@ -29,7 +29,7 @@ def rlfb(p, x, slope: float = 0.05, use_fused: bool = False):
 
         out = fused_conv3x3_chain(
             x,
-            [p[f"c{i}_r"]["weight"] for i in (1, 2, 3)],
+            [ops.nn.dequant_weight(p[f"c{i}_r"]) for i in (1, 2, 3)],
             [p[f"c{i}_r"].get("bias") for i in (1, 2, 3)],
             slope=slope, residual=True,
         )

@@ -59,7 +59,7 @@ def nearest2_conv_weights(w: jax.Array, b=None):
 def nearest2_conv(p, x: jax.Array) -> jax.Array:
     """Exact ``conv(p, nearest_x2(x), padding=1)`` without materializing
     the upsampled intermediate."""
-    w4, b4 = nearest2_conv_weights(p["weight"], p.get("bias"))
+    w4, b4 = nearest2_conv_weights(_nn.dequant_weight(p), p.get("bias"))
     out = _nn.conv2d(x, w4, b4, padding=1)
     return _nn.pixel_shuffle(out, 2)
 
@@ -79,8 +79,8 @@ def parallel_conv_pair(p_1x1, p_kxk, x: jax.Array, dilation: int = 1):
 
     Returns ``(out_1x1, out_kxk)``.
     """
-    w1 = p_1x1["weight"]          # (1, 1, cin, d)
-    wk = p_kxk["weight"]          # (kh, kw, cin, r)
+    w1 = _nn.dequant_weight(p_1x1)  # (1, 1, cin, d)
+    wk = _nn.dequant_weight(p_kxk)  # (kh, kw, cin, r)
     kh, kw = int(wk.shape[0]), int(wk.shape[1])
     d = int(w1.shape[-1])
     w1e = jnp.zeros(wk.shape[:3] + (d,), w1.dtype)
@@ -105,7 +105,7 @@ def parallel_conv_same(ps, x: jax.Array, **kw):
     output-exact. ``kw`` forwards to conv2d (padding/stride/dilation must
     be shared by the siblings)."""
     widths = [int(p["weight"].shape[-1]) for p in ps]
-    w = jnp.concatenate([p["weight"] for p in ps], axis=-1)
+    w = jnp.concatenate([_nn.dequant_weight(p) for p in ps], axis=-1)
     b = _nn.concat_biases([(p.get("bias"), n) for p, n in zip(ps, widths)],
                           w.dtype)
     out = _nn.conv2d(x, w, b, **kw)
@@ -124,4 +124,4 @@ def upconv_nearest2(p, x: jax.Array) -> jax.Array:
     from ntire2022_esr_tpu.ops.resize import interpolate
 
     up = interpolate(x, scale_factor=2, mode="nearest")
-    return _nn.conv2d(up, p["weight"], p.get("bias"))
+    return _nn.conv2d(up, _nn.dequant_weight(p), p.get("bias"))

@@ -154,9 +154,26 @@ def conv2d(
     return saturate_f16(out)
 
 
+def dequant_weight(p: Params) -> jax.Array:
+    """w8 tier (porter/quant.py): int8 weight x per-output-channel scale,
+    dequantized in the active compute dtype (the multiply fuses into the
+    conv prologue; storage stays 1 byte/tap in HBM). A no-op passthrough
+    for float weights — EVERY direct ``p["weight"]`` compute site must go
+    through this so the tier composes with the fusion paths."""
+    w = p["weight"]
+    if w.dtype == jnp.int8:
+        dt = config.numerics().compute_dtype
+        return w.astype(dt) * p["weight_scale"].astype(dt)
+    return w
+
+
+_dequant = dequant_weight
+
+
 def conv(p: Params, x: jax.Array, **kw) -> jax.Array:
-    """Apply a conv layer from a param dict ``{'weight': HWIO, 'bias'?}``."""
-    return conv2d(x, p["weight"], p.get("bias"), **kw)
+    """Apply a conv layer from a param dict ``{'weight': HWIO, 'bias'?}``
+    (int8 weights with 'weight_scale' dequantize on the fly)."""
+    return conv2d(x, _dequant(p), p.get("bias"), **kw)
 
 
 def conv_transpose2d(
@@ -204,11 +221,12 @@ def conv_transpose2d(
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
-    """Dense layer on the last axis; weight stored (in, out)."""
+    """Dense layer on the last axis; weight stored (in, out); int8 weights
+    with 'weight_scale' dequantize on the fly (w8 tier)."""
     nm = config.numerics()
     out = jnp.dot(
         cast_compute(x, nm.compute_dtype),
-        cast_compute(p["weight"], nm.compute_dtype),
+        cast_compute(_dequant(p), nm.compute_dtype),
         precision=nm.matmul_precision,
     )
     if "bias" in p and p["bias"] is not None:

@@ -9,3 +9,7 @@ from ntire2022_esr_tpu.porter.reparam import (  # noqa: F401
     fold_linear_block,
     fold_linear_block_tree,
 )
+from ntire2022_esr_tpu.porter.quant import (  # noqa: F401
+    dequantize_params,
+    quantize_params_int8,
+)
