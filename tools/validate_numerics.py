@@ -60,6 +60,9 @@ def main(argv=None):
     ap.add_argument("--modes", default="high,mixed,fast",
                     help="comma-separated non-parity modes to column "
                          "(e.g. high,mixed,fast,fast16)")
+    ap.add_argument("--w8", action="store_true",
+                    help="quantize weights to int8 (porter/quant.py) for the "
+                         "NON-parity arms — the w8 tier's quality measurement")
     ap.add_argument("--data_dir", default=None,
                     help="surrogate DIV2K dir (tools/make_surrogate_div2k.py) "
                          "-> also measure benchmark-level PSNR deltas vs HR")
@@ -116,7 +119,12 @@ def main(argv=None):
         dr = float(g["data_range"])
         x = (g["input_u8"].astype(np.float32) / (255.0 / dr))[None]
         spec = registry.get_spec(mid)
-        params = registry.load_params(spec)
+        _, params, *_ = registry.build_model(mid)
+        tier_params = params
+        if args.w8:
+            from ntire2022_esr_tpu.porter.quant import quantize_params_int8
+
+            tier_params = quantize_params_int8(params)
 
         # snapshot any process-level forcing (NTIRE_ATTN_BF16 /
         # NTIRE_HR_TAIL_BF16 or setters) so it is honored under 'auto'
@@ -141,7 +149,8 @@ def main(argv=None):
                     prev_tail if tail_force == "auto" else tail_force)
             try:
                 f = jax.jit(lambda p, a: spec.apply(p, a))
-                y = np.asarray(f(params, x), dtype=np.float32)
+                arm = params if mode == "parity" else tier_params
+                y = np.asarray(f(arm, x), dtype=np.float32)
             finally:
                 config.set_attn_bf16(prev_attn)
                 config.set_hr_tail(prev_tail)
@@ -166,14 +175,14 @@ def main(argv=None):
                 config.set_attn_bf16(prev_attn)
                 config.set_hr_tail(prev_tail)
             row = {"model_id": mid, "images": len(pairs),
-                   "attn": args.attn, "tail": args.tail,
+                   "attn": args.attn, "tail": args.tail, "w8": args.w8,
                    "parity_psnr": base, "delta_db": {}}
             for mode in modes:
                 config.set_mode(mode)
                 config.set_attn_bf16(prev_attn if args.attn == "auto" else args.attn)
                 config.set_hr_tail(prev_tail if tail_force == "auto" else tail_force)
                 try:
-                    p_mode = protocol_psnr(spec, params, dr)
+                    p_mode = protocol_psnr(spec, tier_params, dr)
                 finally:
                     config.set_attn_bf16(prev_attn)
                     config.set_hr_tail(prev_tail)
@@ -181,7 +190,8 @@ def main(argv=None):
                 print(f"  benchmark {mode:8} (attn={args.attn}, tail={args.tail}): "
                       f"{p_mode:.4f} dB vs parity {base:.4f} "
                       f"(delta {p_mode - base:+.4f})", flush=True)
-            key = f"{spec.name}|attn={args.attn}|tail={args.tail}|" + ",".join(modes)
+            key = (f"{spec.name}|attn={args.attn}|tail={args.tail}"
+                   + ("|w8" if args.w8 else "") + "|" + ",".join(modes))
             bench[key] = row
             os.makedirs(os.path.dirname(args.out), exist_ok=True)
             with open(args.out, "w") as fh:
