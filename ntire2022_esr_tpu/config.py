@@ -264,7 +264,13 @@ _attn_bf16: "str | None" = os.environ.get("NTIRE_ATTN_BF16") or None
 if _attn_bf16 is not None and _attn_bf16 not in _ATTN_VALUES:
     raise ValueError(f"NTIRE_ATTN_BF16 must be one of {_ATTN_VALUES}, got {_attn_bf16!r}")
 
-_ATTN_BF16_AUTO_SITES: "dict[str, str]" = {"mobilesr": "scores", "hnct": "scores"}
+# Round-4 gate: benchmark-level PSNR shift (tools/validate_numerics.py
+# --data_dir; results/protocol/numerics_delta_r4.json). imdtn "scores"
+# measured -0.0001 dB benchmark shift (the 66.7 dB between-mode proxy
+# under-rated it) and is the fastest variant (28.53 vs 29.88 scores_f16
+# vs 30.38 off ms/img) -> AUTO.
+_ATTN_BF16_AUTO_SITES: "dict[str, str]" = {
+    "mobilesr": "scores", "hnct": "scores", "imdtn": "scores"}
 
 
 def attn_bf16(site: str = "mha") -> str:
@@ -318,9 +324,21 @@ def _hr_tail_from_env() -> "str | None":
 
 _hr_tail: "str | None" = _hr_tail_from_env()
 
-# site -> tier enabled by AUTO outside parity mode (filled per on-chip
-# quality measurement: a site enters only at >= 68.5 dB between-mode).
-_HR_TAIL_AUTO_SITES: "dict[str, str]" = {}
+# site -> tier enabled by AUTO outside parity mode. Round-4 gate: the
+# BENCHMARK-level PSNR shift measured by tools/validate_numerics.py
+# --data_dir on full-size surrogate protocol images (the between-mode
+# proxy under-rated these tiers by design — 55-65 dB proxy == +-0.001 dB
+# actual benchmark shift). Measured (results/protocol/numerics_delta_r4):
+# hr-tail bf16 shifts 33/27/28/20 by +0.0010/-0.0010/-0.0000/-0.0003 dB —
+# inside the high-mode <=0.005 dB claim -> AUTO. The f16 tail variant is
+# equally accurate but ~1.4-1.6x SLOWER than bf16 (no native f16 MXU
+# pass; hr_tail_f16_r4.json) — stays opt-in for A/B only.
+_HR_TAIL_AUTO_SITES: "dict[str, str]" = {
+    "m_rfdn": "bf16",
+    "lwfanet": "bf16",
+    "nasnetbn": "bf16",
+    "mobilesr": "bf16",
+}
 
 
 def hr_tail(site: str) -> str:

@@ -285,14 +285,14 @@ def test_attn_bf16_close_and_gated(rng):
     assert 0 < err_f16 < err_bf16, (err_f16, err_bf16)
     with pytest.raises(ValueError):
         config.set_attn_bf16("bogus")
-    # AUTO gate: "scores" outside parity at the measured-win sites only
-    # (mobilesr 68.9 / hnct 77.0 dB stay at the high-mode floor; imdtn's
-    # 66.7 dB keeps it opt-in — layout_probes_r3.json / validate_numerics)
+    # AUTO gate: "scores" outside parity at the measured sites. Round 4:
+    # imdtn joined — its BENCHMARK-level shift measured -0.0001 dB
+    # (numerics_delta_r4.json; the 66.7 dB between-mode proxy under-rated it)
     assert config.attn_bf16("mobilesr") == "off"  # parity
     with config.numerics_mode("high"):
         assert config.attn_bf16("mobilesr") == "scores"
         assert config.attn_bf16("hnct") == "scores"
-        assert config.attn_bf16("imdtn") == "off"
+        assert config.attn_bf16("imdtn") == "scores"
         assert config.attn_bf16("mha") == "off"
 
 
@@ -368,3 +368,18 @@ def test_hr_tail_knob_validation_and_legacy():
     finally:
         config.set_hr_tail(None)
     assert config.hr_tail_override() is None
+
+
+def test_hr_tail_auto_sites_round4():
+    """Round-4 AUTO: bf16 tails at the four wired sites in f32 non-parity
+    modes, gated on the measured BENCHMARK shift (+-0.001 dB,
+    numerics_delta_r4.json); f16 is equally accurate but 1.4-1.6x slower
+    (hr_tail_f16_r4.json) -> stays opt-in; fast/fast16 keep their pre-knob
+    2-byte graphs."""
+    assert config.hr_tail("m_rfdn") == "off"  # parity
+    with config.numerics_mode("high"):
+        for site in ("m_rfdn", "lwfanet", "nasnetbn", "mobilesr"):
+            assert config.hr_tail(site) == "bf16"
+        assert config.hr_tail("scet") == "off"  # measured negative (OOM)
+    with config.numerics_mode("fast"):
+        assert config.hr_tail("m_rfdn") == "off"
