@@ -118,7 +118,10 @@ def evaluate_model(model_id: int, args, logger: logging.Logger) -> dict:
             if entry.get(key) == 0.0:
                 entry[key] = mem
 
-    comp = summary.model_complexity(apply, params, (256, 256))
+    comp = summary.model_complexity(
+        apply, params, (256, 256),
+        params_convention=getattr(args, "params_convention", "deploy"),
+        model_name=model_name)
     logger.info("{:>16s} : {:<.4f} [M]".format("#Activations", comp["activations"]))
     logger.info("{:>16s} : {:<d}".format("#Conv2d", comp["num_conv"]))
     logger.info("{:>16s} : {:<.4f} [G]".format("FLOPs", comp["flops"]))
@@ -153,6 +156,12 @@ def main(argv=None):
                              "mesh (mesh = (N/S, S); default 2)")
     parser.add_argument("--x8", action="store_true",
                         help="x8 dihedral self-ensemble inference")
+    parser.add_argument("--params_convention", default="deploy",
+                        choices=["deploy", "reference"],
+                        help="#Params counting: 'deploy' = the folded params "
+                             "actually stored; 'reference' = add back the "
+                             "weight-norm g vectors the porter folds (matches "
+                             "the published table for models 23/36/42)")
     args = parser.parse_args(argv)
     pprint(args)
 

@@ -69,26 +69,49 @@ def analyze_stablehlo(text: str) -> Dict[str, float]:
     }
 
 
-def count_params(params) -> int:
+# Weight-norm g-vector sizes the porter folds away (g*v/||v|| -> one
+# weight). The published table counts BOTH g and v; reproduce its numbers
+# with convention="reference". Counted from the reference checkpoints
+# (sum of *.weight_g sizes): team23_mdan.pt 15120 (372 normed convs),
+# team36_rfesr.pt 1152 (36), team42_rlcsr.pt 1824 (96).
+WEIGHT_NORM_G_PARAMS = {"23_MDAN": 15120, "36_RFESR": 1152, "42_RLCSR": 1824}
+
+
+def count_params(params, convention: str = "deploy",
+                 model_name: str = "") -> int:
     """Trainable-parameter count (torch ``model.parameters()`` semantics):
-    BatchNorm running stats are buffers and excluded. Note: for weight-normed
-    checkpoints (models 23, 36, 42) the porter folds g*v/||v|| into one
-    weight, so counts are lower than the reference's by the size of the g
-    vectors — the reference counts both g and v."""
+    BatchNorm running stats are buffers and excluded.
+
+    ``convention="deploy"`` (default) counts the params the framework
+    actually stores — for weight-normed checkpoints (23, 36, 42) the
+    porter folds g*v/||v|| into one weight, so counts are lower than the
+    published table by the g vectors. ``convention="reference"`` adds the
+    folded g sizes back (``WEIGHT_NORM_G_PARAMS``) so a published-table
+    comparison matches; int8-quantized weights count their scales as the
+    deploy convention's extra params."""
     from ntire2022_esr_tpu.porter.convert import flatten
 
-    return sum(
+    n = sum(
         int(np.prod(np.shape(v)))
         for k, v in flatten(params).items()
         if not (k.endswith("running_mean") or k.endswith("running_var"))
     )
+    if convention == "reference":
+        n += WEIGHT_NORM_G_PARAMS.get(model_name, 0)
+    elif convention != "deploy":
+        raise ValueError(f"convention must be 'deploy' or 'reference', got {convention!r}")
+    return n
 
 
-def model_complexity(apply: Callable, params, input_hw: Tuple[int, int] = (256, 256)) -> Dict[str, float]:
+def model_complexity(apply: Callable, params, input_hw: Tuple[int, int] = (256, 256),
+                     params_convention: str = "deploy",
+                     model_name: str = "") -> Dict[str, float]:
     """Challenge-style complexity report on a (1, H, W, 3) input.
 
     Returns activations [M], num_conv, flops [G], num_parameters [M] —
     the exact fields results.json records (test_demo.py:522-535).
+    ``params_convention="reference"`` reproduces the published #Params for
+    weight-normed models (see count_params).
     """
     h, w = input_hw
     x = jnp.zeros((1, h, w, 3), jnp.float32)
@@ -98,7 +121,7 @@ def model_complexity(apply: Callable, params, input_hw: Tuple[int, int] = (256, 
         "activations": stats["activations"] / 1e6,
         "num_conv": int(stats["num_conv"]),
         "flops": stats["flops"] / 1e9,
-        "num_parameters": count_params(params) / 1e6,
+        "num_parameters": count_params(params, params_convention, model_name) / 1e6,
     }
 
 

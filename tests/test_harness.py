@@ -415,3 +415,20 @@ def test_require_device_fast_path(monkeypatch):
                         lambda *a, **k: _time.sleep(30))
     with pytest.raises(RuntimeError, match="not ready"):
         profiling.require_device()
+
+
+def test_params_convention_reference():
+    """#Params 'reference' convention adds back the folded weight-norm g
+    vectors (published-table comparability for 23/36/42)."""
+    from ntire2022_esr_tpu.harness import registry, summary
+
+    _, params, name, *_ = registry.build_model(36)
+    deploy = summary.count_params(params)
+    ref = summary.count_params(params, "reference", name)
+    assert ref - deploy == summary.WEIGHT_NORM_G_PARAMS["36_RFESR"] == 1152
+    # non-normed model: conventions agree
+    _, p4, n4, *_ = registry.build_model(4)
+    assert summary.count_params(p4) == summary.count_params(p4, "reference", n4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="convention"):
+        summary.count_params(params, "bogus", name)
