@@ -7,6 +7,7 @@ from ntire2022_esr_tpu.parallel.eval import (  # noqa: F401
     sharded_batch_apply,
     sharded_eval_step,
 )
+from ntire2022_esr_tpu.parallel.pipeline import PipelinedSR  # noqa: F401
 from ntire2022_esr_tpu.parallel.spatial import (  # noqa: F401
     SpatialShardUnavailable,
     make_spatial_apply,

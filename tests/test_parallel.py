@@ -289,3 +289,43 @@ def test_cli_composed_batched_spatial(tmp_path, rng):
     args.model_id = 4
     with pytest.raises(ValueError, match="slab-decomposable"):
         cli.evaluate_model(4, args, logger)
+
+
+# ---------------------------------------------------------------------------
+# Stage-pipelined inference (parallel/pipeline.py)
+# ---------------------------------------------------------------------------
+
+def test_pipelined_sr_matches_whole_forward(rng):
+    from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.parallel import PipelinedSR
+
+    apply, params, name, dr, _ = registry.build_model(28)
+    pipe = PipelinedSR(28, devices=jax.devices()[:2])
+    x = rng.rand(2, 16, 20, 3).astype(np.float32) * dr
+    ref = np.asarray(jax.jit(apply)(params, jnp.asarray(x)))
+    out = pipe.process_one(x)
+    np.testing.assert_allclose(out, ref, atol=1e-5 * max(dr, 1.0), rtol=0)
+
+
+def test_pipelined_sr_stream_order_and_devices(rng):
+    from ntire2022_esr_tpu.parallel import PipelinedSR
+
+    d0, d1 = jax.devices()[2], jax.devices()[5]
+    pipe = PipelinedSR(27, devices=[d0, d1], depth=2)
+    batches = [rng.rand(1, 16, 16, 3).astype(np.float32) for _ in range(4)]
+    outs = list(pipe.process_stream(batches))
+    assert len(outs) == 4
+    for b, o in zip(batches, outs):
+        np.testing.assert_allclose(o, pipe.process_one(b), atol=1e-6)
+    # the tail really ran on the second device
+    y = pipe._submit(batches[0])
+    assert set(y.sharding.device_set) == {d1}
+
+
+def test_pipelined_sr_validation():
+    from ntire2022_esr_tpu.parallel import PipelinedSR
+
+    with pytest.raises(KeyError, match="stage split"):
+        PipelinedSR(4)
+    with pytest.raises(ValueError, match="2 devices"):
+        PipelinedSR(28, devices=jax.devices()[:3])
