@@ -50,9 +50,12 @@ def _transformer_block(p, x, num_heads: int = 8):
 
 
 def scet_body(params, x, *, n_scpa: int = 16):
-    """conv3 + 16x SCPA + transformer (LR domain). Returns BOTH the
-    transformer output and the head-conv output (the tail's dual heads read
-    each). Body/tail seam = the stage-split boundary (harness/stagesplit.py)."""
+    """conv3 + 16x SCPA + transformer (LR domain). Returns only the
+    transformer output: the second head's input is one cheap conv3(x)
+    that the tail REMATERIALIZES from x — halving the body->tail
+    intermediate (the dual-map seam runtime-OOMed the chunked-tail
+    schedule, docs/RUNTIME_TPU.md ledger). Body/tail seam = the
+    stage-split boundary (harness/stagesplit.py)."""
     h = ops.conv(params["conv3"], x)
     p1 = params["path1"]
     scpa_params = [p1["0"]["arr"][str(i)] for i in range(n_scpa)]
@@ -62,15 +65,14 @@ def scet_body(params, x, *, n_scpa: int = 16):
         h1 = h
         for p in scpa_params:
             h1 = _scpa(p, h1)
-    h1 = _transformer_block(p1["1"]["arr"]["0"], h1)
-    return h1, h
+    return _transformer_block(p1["1"]["arr"]["0"], h1)
 
 
-def scet_tail(params, hh, x_lr, *, upscale: int = 4):
-    """Both pixel-shuffle heads, summed (x_lr unused — uniform tail
-    signature for the stage-split runner)."""
-    del x_lr
-    h1, h = hh
+def scet_tail(params, h1, x_lr, *, upscale: int = 4):
+    """Both pixel-shuffle heads, summed; the second head's input is
+    rematerialized as conv3(x_lr) (one 3x3 at LR — trades ~2% extra MACs
+    for half the stage-split intermediate)."""
+    h = ops.conv(params["conv3"], x_lr)
     p1 = params["path1"]
     # HR-tail bf16 is deliberately NOT wired here: on-chip A/B (batch 32:
     # 20.94 -> 20.30 ms/img, -3%) and at the real batch-64 cap the bf16 cast
