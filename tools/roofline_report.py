@@ -77,19 +77,54 @@ def main(argv=None):
         measured = float(row["ms_per_image_sustained"])
         apply, params, _, dr, _ = registry.build_model(mid)
 
-        def step(p, a, i):
-            return jnp.sum(apply(p, a * (1.0 + 1e-6 * i)))
+        def _cost(fn, *xs):
+            compiled = jax.jit(fn).lower(params, *xs).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            ca = dict(ca) if ca else {}
+            return (float(ca.get("bytes accessed", 0.0)),
+                    float(ca.get("flops", 0.0)),
+                    float(ca.get("optimal_seconds", 0.0)))
 
-        x = jnp.zeros((batch, args.size, args.size, 3), jnp.float32)
-        print(f"compiling {name} at batch {batch}...", flush=True)
-        compiled = jax.jit(step).lower(params, x, jnp.float32(0.0)).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        ca = dict(ca) if ca else {}
-        bytes_acc = float(ca.get("bytes accessed", 0.0))
-        flops = float(ca.get("flops", 0.0))
-        opt_s = float(ca.get("optimal_seconds", 0.0))
+        if row.get("method") == "split":
+            # split rows run TWO executables (harness/stagesplit.py):
+            # body at `batch` + tail over `chunk`-sized slices; the floors
+            # are the per-chain sums of both stages' costs
+            from ntire2022_esr_tpu.harness import stagesplit
+
+            body, tail = stagesplit.get_split(mid)
+            chunk = int(row.get("chunk", stagesplit.SHIPPED[mid][1]))
+            n_chunks = batch // chunk
+            x = jnp.zeros((batch, args.size, args.size, 3), jnp.float32)
+            print(f"compiling {name} split body@{batch} + tail@{chunk}...",
+                  flush=True)
+
+            def body_step(p, a, i):
+                return body(p, a * (1.0 + 1e-6 * i))
+
+            h0 = jax.eval_shape(body_step, params, x, jnp.float32(0.0))
+            h = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), h0)
+
+            def tail_step(p, hh, a, c):
+                hs = jax.tree_util.tree_map(
+                    lambda v: jax.lax.dynamic_slice_in_dim(v, c * chunk, chunk, 0), hh)
+                xs = jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, 0)
+                return jnp.sum(tail(p, hs, xs))
+
+            b_b, f_b, o_b = _cost(body_step, x, jnp.float32(0.0))
+            b_t, f_t, o_t = _cost(tail_step, h, x, jnp.int32(0))
+            bytes_acc = b_b + n_chunks * b_t
+            flops = f_b + n_chunks * f_t
+            opt_s = o_b + n_chunks * o_t
+        else:
+            def step(p, a, i):
+                return jnp.sum(apply(p, a * (1.0 + 1e-6 * i)))
+
+            x = jnp.zeros((batch, args.size, args.size, 3), jnp.float32)
+            print(f"compiling {name} at batch {batch}...", flush=True)
+            bytes_acc, flops, opt_s = _cost(step, x, jnp.float32(0.0))
 
         hbm_ms = bytes_acc / HBM_BW * 1e3 / batch
         mxu_ms = flops / MXU_BF16 * 1e3 / batch
