@@ -1,0 +1,150 @@
+"""Pin tools/make_gated_envelope.py's join/gate logic on synthetic artifacts.
+
+The real envelope (results/protocol/zoo_sustained_gated.json) is produced
+from on-chip measurements; these tests keep the adjudication rules honest:
+a non-high tier enters only with BOTH an on-chip sustained row and a
+measured benchmark delta within the gate, forced-variant delta rows are
+ignored, and the envelope never degrades below the high row.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import make_gated_envelope as mge
+
+
+def _write(proto, name, obj):
+    with open(os.path.join(proto, name), "w") as fh:
+        json.dump(obj, fh)
+
+
+@pytest.fixture
+def proto(tmp_path):
+    d = str(tmp_path / "protocol")
+    os.makedirs(d)
+    # canonical high table: two real zoo names (TITAN_MS lookup)
+    _write(d, "zoo_sustained.json", {
+        "04_RLFN": {"model_id": 4, "batch": 128, "mode": "high",
+                    "ms_per_image_sustained": 1.62},
+        "30_SCET": {"model_id": 30, "batch": 64, "mode": "high",
+                    "ms_per_image_sustained": 19.8},
+    })
+    _write(d, "zoo_sustained_fast_r3.json", {
+        "04_RLFN": {"model_id": 4, "batch": 128, "mode": "fast",
+                    "ms_per_image_sustained": 0.80},
+        "30_SCET": {"model_id": 30, "batch": 128, "mode": "fast",
+                    "ms_per_image_sustained": 2.87},
+    })
+    _write(d, "zoo_sustained_fast16_r4.json", {
+        "04_RLFN": {"model_id": 4, "batch": 64, "mode": "fast16",
+                    "ms_per_image_sustained": 5.08},
+        "30_SCET": {"model_id": 30, "batch": 64, "mode": "fast16",
+                    "ms_per_image_sustained": 9.0},
+    })
+    _write(d, "numerics_delta_r4.json", {
+        # RLFN: fast fails the 0.005 gate, fast16 passes but is SLOWER
+        # than high -> keeps high
+        "04_RLFN|attn=auto|tail=auto|fast,fast16": {
+            "model_id": 4, "images": 2, "attn": "auto", "tail": "auto",
+            "w8": False, "parity_psnr": 26.8,
+            "delta_db": {"fast": -0.0222, "fast16": 0.0004}},
+        # SCET: fast passes AND is faster -> flips
+        "30_SCET|attn=auto|tail=auto|fast,fast16": {
+            "model_id": 30, "images": 2, "attn": "auto", "tail": "auto",
+            "w8": False, "parity_psnr": 26.4,
+            "delta_db": {"fast": 0.0009, "fast16": 0.0012}},
+        # forced-variant rows must NOT count toward the envelope
+        "30_SCET|attn=auto|tail=bf16|high": {
+            "model_id": 30, "images": 2, "attn": "auto", "tail": "bf16",
+            "w8": False, "parity_psnr": 26.4, "delta_db": {"high": -0.9}},
+        "04_RLFN|attn=auto|tail=auto|w8|fast": {
+            "model_id": 4, "images": 2, "attn": "auto", "tail": "auto",
+            "w8": True, "parity_psnr": 26.8, "delta_db": {"fast": 0.0}},
+    })
+    return d
+
+
+def _run(proto, *extra_args):
+    return mge.main(["--proto_dir", proto, *extra_args])
+
+
+def test_gate_and_speed_jointly_required(proto):
+    env = _run(proto)
+    # RLFN: fast fails gate, fast16 passes gate but slower -> high row kept
+    assert env["04_RLFN"]["tier"] == "high"
+    assert env["04_RLFN"]["ms_per_image_sustained"] == 1.62
+    assert env["04_RLFN"]["tier_delta_db"] is None
+    # SCET: fast passes gate and is faster -> flips with the measured delta
+    assert env["30_SCET"]["tier"] == "fast"
+    assert env["30_SCET"]["ms_per_image_sustained"] == 2.87
+    assert env["30_SCET"]["tier_delta_db"] == pytest.approx(0.0009)
+    assert env["30_SCET"]["delta_images"] == 2
+
+
+def test_forced_variant_rows_ignored(proto):
+    # the tail=bf16 row carries a -0.9 dB delta for mode 'high'; if it
+    # leaked into the envelope adjudication the 'high' tier itself would
+    # be mis-keyed. gated_deltas must drop forced rows entirely.
+    deltas = mge.gated_deltas(json.load(
+        open(os.path.join(proto, "numerics_delta_r4.json"))))
+    assert "high" not in deltas.get("30_SCET", {})
+    assert "fast" in deltas["30_SCET"]
+    # the w8 row's 0.0 delta must not overwrite RLFN's real fast delta
+    assert deltas["04_RLFN"]["fast"][0] == pytest.approx(-0.0222)
+
+
+def test_worst_case_delta_wins(proto):
+    # a second AUTO-config row with a larger |delta| must replace the
+    # smaller one (conservative adjudication)
+    art = json.load(open(os.path.join(proto, "numerics_delta_r4.json")))
+    art["30_SCET|attn=auto|tail=auto|fast"] = {
+        "model_id": 30, "images": 4, "attn": "auto", "tail": "auto",
+        "w8": False, "parity_psnr": 26.4, "delta_db": {"fast": -0.0060}}
+    _write(proto, "numerics_delta_r4.json", art)
+    env = _run(proto)
+    # worst-case fast delta (-0.006) now fails the 0.005 gate; the next
+    # faster-than-high passing tier (fast16, 9.0 < 19.8 ms) wins instead
+    assert env["30_SCET"]["tier"] == "fast16"
+    assert env["30_SCET"]["ms_per_image_sustained"] == 9.0
+
+
+def test_missing_delta_never_flips(proto):
+    # remove SCET's delta rows: sustained fast row alone must not flip it
+    art = json.load(open(os.path.join(proto, "numerics_delta_r4.json")))
+    art = {k: v for k, v in art.items() if "30_SCET" not in k}
+    _write(proto, "numerics_delta_r4.json", art)
+    env = _run(proto)
+    assert env["30_SCET"]["tier"] == "high"
+
+
+def test_gate_widening_admits_more(proto):
+    # at the reference's own +-0.01 bar RLFN's fast16 still passes but is
+    # slower; its fast (-0.0222) still fails -> high. A wide 0.05 gate
+    # admits fast.
+    env = _run(proto, "--gate", "0.05")
+    assert env["04_RLFN"]["tier"] == "fast"
+    assert env["04_RLFN"]["ms_per_image_sustained"] == 0.80
+
+
+def test_extra_artifact_fastest_row_wins(proto, tmp_path):
+    # a tuned re-measure in an --extra file beats the uniform-sweep row
+    extra = str(tmp_path / "tuned.json")
+    with open(extra, "w") as fh:
+        json.dump({"30_SCET": {"model_id": 30, "batch": 128, "mode": "fast",
+                               "ms_per_image_sustained": 2.50}}, fh)
+    env = _run(proto, "--extra", extra)
+    assert env["30_SCET"]["ms_per_image_sustained"] == 2.50
+    assert env["30_SCET"]["tier"] == "fast"
+
+
+def test_write_artifact(proto):
+    _run(proto, "--write")
+    out = json.load(open(os.path.join(proto, "zoo_sustained_gated.json")))
+    assert set(out) == {"04_RLFN", "30_SCET"}
+    assert out["30_SCET"]["tier"] == "fast"

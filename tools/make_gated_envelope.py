@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Build the benchmark-gated serving envelope: fastest measured tier per
+model whose BENCHMARK-level PSNR shift passes the gate.
+
+The challenge scores fp32 PSNR with a ±0.01 dB reproducibility bar
+(reference test_demo.py:439-447; README.md:16). Round 4 established the
+honest adjudication for faster numerics tiers: measure the full-protocol
+PSNR delta vs the parity arm on surrogate DIV2K-shaped images
+(tools/validate_numerics.py --data_dir -> results/protocol/
+numerics_delta_r4.json) and admit a tier only when the measured shift is
+within the gate (default 0.005 dB, i.e. half the reference's own bar).
+
+This tool joins three measured artifact families:
+  - the canonical high-mode sustained table (zoo_sustained.json — high +
+    benchmark-gated AUTO storage tiers, the ≤0.005 dB baseline),
+  - per-tier sustained sweeps (zoo_sustained_fast_r3/r4.json,
+    zoo_sustained_fast16_r4.json, + any --extra files),
+  - the benchmark-delta ledger (numerics_delta_r4.json),
+and emits results/protocol/zoo_sustained_gated.json: per model the fastest
+tier among {high, fast, fast16} that (a) has an on-chip sustained row and
+(b) for non-high tiers, a measured |benchmark delta| <= gate with the
+shipped AUTO storage config (attn=auto, tail=auto, no w8). Models with no
+passing faster tier keep their high row — the envelope never degrades.
+
+Usage: python tools/make_gated_envelope.py [--gate 0.005] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_PROTO = os.path.join(REPO, "results", "protocol")
+
+TIER_FILES = ["zoo_sustained_fast_r3.json", "zoo_sustained_fast_r4.json",
+              "zoo_sustained_fast16_r4.json"]
+
+
+def _load(proto_dir, name):
+    path = name if os.path.isabs(name) else os.path.join(proto_dir, name)
+    return json.load(open(path)) if os.path.exists(path) else {}
+
+
+def gated_deltas(delta_art):
+    """name -> mode -> (worst-case measured benchmark delta, images).
+
+    'Worst-case' = the largest-|.| across all rows for that (name, mode)
+    measured with the shipped AUTO storage config; forced variants
+    (tail=bf16/f16, attn overrides, w8) are tier measurements for OTHER
+    ledgers and do not count toward the envelope.
+    """
+    out = {}
+    for key, row in delta_art.items():
+        name = key.split("|")[0]
+        if row.get("attn") != "auto" or row.get("tail") != "auto":
+            continue
+        if row.get("w8"):
+            continue
+        for mode, d in row.get("delta_db", {}).items():
+            cur = out.setdefault(name, {})
+            if mode not in cur or abs(d) > abs(cur[mode][0]):
+                cur[mode] = (d, row.get("images", 0))
+    return out
+
+
+def build_envelope(base, deltas, tier_rows, gate):
+    """Per model: fastest tier whose measured |benchmark delta| <= gate.
+
+    ``base`` rows (high + benchmark-gated AUTO storage) are always
+    admissible; a non-high tier needs BOTH an on-chip sustained row and a
+    measured delta. The envelope never degrades below the high row.
+    """
+    env = {}
+    for name in sorted(base, key=lambda n: base[n]["model_id"]):
+        best = dict(base[name])
+        best["tier"] = "high"
+        best["tier_delta_db"] = None  # high+AUTO: gate carried by the AUTO ledger
+        for mode in ("fast16", "fast"):
+            row = tier_rows.get(name, {}).get(mode)
+            d = deltas.get(name, {}).get(mode)
+            if row is None or d is None:
+                continue
+            if abs(d[0]) > gate:
+                continue
+            if row["ms_per_image_sustained"] < best["ms_per_image_sustained"]:
+                best = dict(row)
+                best["tier"] = mode
+                best["tier_delta_db"] = d[0]
+                best["delta_images"] = d[1]
+        env[name] = best
+    return env
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate", type=float, default=0.005,
+                    help="max |benchmark PSNR delta| (dB) for a non-high "
+                         "tier to enter the envelope")
+    ap.add_argument("--proto_dir", default=DEFAULT_PROTO,
+                    help="artifact directory (results/protocol)")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="additional sustained artifacts (fastest row per "
+                         "model per mode wins across all files)")
+    ap.add_argument("--out", default=None,
+                    help="output path (default <proto_dir>/zoo_sustained_gated.json)")
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args(argv)
+    out_path = args.out or os.path.join(args.proto_dir, "zoo_sustained_gated.json")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from merge_sustained import TITAN_MS
+
+    base = _load(args.proto_dir, "zoo_sustained.json")
+    deltas = gated_deltas(_load(args.proto_dir, "numerics_delta_r4.json"))
+
+    # per-tier sustained candidates: best (fastest) measured row per model
+    # per mode across all sweep artifacts
+    tier_rows = {}
+    for f in TIER_FILES + list(args.extra):
+        for name, row in _load(args.proto_dir, f).items():
+            mode = row.get("mode")
+            cur = tier_rows.setdefault(name, {}).get(mode)
+            if cur is None or row["ms_per_image_sustained"] < cur["ms_per_image_sustained"]:
+                tier_rows[name][mode] = row
+
+    env = build_envelope(base, deltas, tier_rows, args.gate)
+
+    print("| model | ms/img | tier | batch | delta dB | Titan ms | speedup |")
+    print("|---|---|---|---|---|---|---|")
+    sps = []
+    flipped = 0
+    for name, r in env.items():
+        ms = r["ms_per_image_sustained"]
+        ti = TITAN_MS[name]
+        sp = ti / ms
+        sps.append(sp)
+        d = r["tier_delta_db"]
+        dcol = "AUTO ledger" if d is None else f"{d:+.4f}"
+        flipped += r["tier"] != "high"
+        print(f"| {name} | {ms:.2f} | {r['tier']} | {r.get('batch')} | {dcol} "
+              f"| {ti:.1f} | {sp:.1f}x |")
+    geo = math.exp(sum(math.log(s) for s in sps) / len(sps))
+    print(f"\ngate ±{args.gate} dB: {flipped} models flipped to a faster tier; "
+          f"geomean {geo:.1f}x  min {min(sps):.1f}x  max {max(sps):.1f}x  "
+          f"(n={len(sps)})")
+
+    if args.write:
+        with open(out_path, "w") as fh:
+            json.dump(env, fh, indent=1)
+            fh.write("\n")
+        print(f"wrote {out_path}")
+    return env
+
+
+if __name__ == "__main__":
+    main()
