@@ -204,6 +204,15 @@ def _zoo_summary():
         geo, lo, _ = agg("results/protocol/zoo_sustained_fast_r3.json")
         out["zoo_fast_geomean_vs_baseline"] = geo
         out["zoo_fast_min_vs_baseline"] = lo
+        try:
+            # benchmark-gated envelope (tools/make_gated_envelope.py):
+            # fastest tier per model with measured |protocol delta| <=
+            # 0.005 dB — the headline "no quality trade" serving numbers
+            geo, lo, _ = agg("results/protocol/zoo_sustained_gated.json")
+            out["zoo_gated_geomean_vs_baseline"] = geo
+            out["zoo_gated_min_vs_baseline"] = lo
+        except Exception:
+            pass
     except Exception:
         pass  # artifacts absent (fresh clone): headline fields still emitted
     return out
