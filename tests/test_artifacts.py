@@ -49,6 +49,40 @@ def test_sustained_matches_titan_table():
         assert not missing, (fname, missing)
 
 
+def test_gated_envelope_artifact_honest():
+    """The shipped envelope (serve CLI default) must cover the zoo, never
+    degrade below the high table, and carry a measured within-gate delta
+    for every non-high row (tools/make_gated_envelope.py GATE=0.005)."""
+    from ntire2022_esr_tpu.harness import registry
+
+    art = _load("zoo_sustained_gated.json")
+    high = _load("zoo_sustained.json")
+    ids = {row["model_id"] for row in art.values()}
+    assert ids == set(registry.available_ids())
+    for name, row in art.items():
+        assert row["ms_per_image_sustained"] > 0, name
+        if name in high:
+            assert (row["ms_per_image_sustained"]
+                    <= high[name]["ms_per_image_sustained"] + 1e-9), name
+        if row["tier"] == "high":
+            assert row.get("tier_delta_db") is None, name
+        else:
+            assert abs(row["tier_delta_db"]) <= 0.005, (name, row)
+            assert row.get("delta_images", 0) >= 2, name
+
+
+def test_gated_envelope_loads_as_plans():
+    """harness.envelope parses the committed artifact into ServingPlans."""
+    from ntire2022_esr_tpu.harness import envelope
+
+    plans = envelope.load_envelope()
+    assert len(plans) == 42
+    for p in plans.values():
+        assert p.tier in ("parity", "high", "mixed", "fast", "fast16"), p
+        assert p.method in ("chain", "split", "fori"), p
+        assert (p.chunk is not None) == (p.method == "split"), p
+
+
 def test_roofline_rows_are_physical():
     """measured >= bytes speed-of-light (sol_ratio >= 1): a sub-1 ratio
     means the cost-analysis bytes or the measurement regressed."""
