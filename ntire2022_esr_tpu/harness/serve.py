@@ -83,23 +83,38 @@ def _frames(args) -> Tuple[Iterator[np.ndarray], List[Optional[str]], int]:
     return (img_util.imread_uint(p, 3) for p in paths), names, len(paths)
 
 
-def _serve_tiled(plan, frames, names, save_dir) -> int:
-    """Image-at-a-time tiled serving for ``fori``-method plans."""
+def _serve_tiled(plan, frames, names, save_dir, warmup=True):
+    """Image-at-a-time tiled serving for ``fori``-method plans.
+
+    Returns ``(served_count, t0)`` where ``t0`` is the throughput-clock
+    start — taken after the first frame pre-compiled the tile executable
+    when ``warmup`` is on (tile shape is fixed, so one frame warms all).
+    """
     from ntire2022_esr_tpu.harness.tiling import tiled_apply
 
-    apply, params, name, dr, tile = registry.build_model(plan.model_id)
+    with config.numerics_mode(plan.tier):
+        apply, params, name, dr, tile = registry.build_model(plan.model_id)
     spec = registry.get_spec(plan.model_id)
-    n = 0
-    for frame, src in zip(frames, names):
+
+    def one(frame):
         with config.numerics_mode(plan.tier):
             x = img_util.uint2nhwc(frame, dr)
             y = tiled_apply(apply, params, x, tile,
                             max_tiles_per_call=spec.max_tiles_per_call)
-            sr = img_util.nhwc2uint(np.asarray(y, np.float32), dr)
+            return img_util.nhwc2uint(np.asarray(y, np.float32), dr)
+
+    frames = iter(frames)
+    t0 = time.perf_counter()
+    n = 0
+    for frame, src in zip(frames, names):
+        if warmup and n == 0:
+            one(frame)  # compile pass; excluded from the throughput clock
+            t0 = time.perf_counter()
+        sr = one(frame)
         if save_dir:
             img_util.imsave(sr, os.path.join(save_dir, _out_name(src, n)))
         n += 1
-    return n
+    return n, t0
 
 
 def _out_name(src: Optional[str], idx: int) -> str:
