@@ -109,17 +109,7 @@ def make_server(model_id: int, *, path: Optional[str] = None,
             f"(method={plan.method!r}); use harness.tiling.tiled_apply under "
             f"config.numerics_mode({plan.tier!r})")
 
-    # Build under the plan's tier so params are laid out for it, then pin
-    # the tier at trace time: jit traces lazily, so the wrapper (not the
-    # ambient mode at construction) must carry the tier.
-    with config.numerics_mode(plan.tier):
-        base_apply, params, name, data_range, tile = registry.build_model(model_id)
-
     tier = plan.tier
-
-    def pinned_apply(p, x):
-        with config.numerics_mode(tier):
-            return base_apply(p, x)
 
     if plan.method == "split":
         # stage-split servers resolve body/tail from the model registry
@@ -131,6 +121,18 @@ def make_server(model_id: int, *, path: Optional[str] = None,
                                max_batch=max_batch or plan.batch, depth=depth,
                                mesh=mesh, stage_split=plan.stage_split)
     else:
+        # Build under the plan's tier so params are laid out for it, then
+        # pin the tier at trace time: jit traces lazily, so the wrapper
+        # (not the ambient mode at construction) must carry the tier.
+        # (split plans rebuild internally — don't double-build here.)
+        with config.numerics_mode(tier):
+            base_apply, params, name, data_range, tile = \
+                registry.build_model(model_id)
+
+        def pinned_apply(p, x):
+            with config.numerics_mode(tier):
+                return base_apply(p, x)
+
         server = _PinnedServer(tier, max_batch=max_batch or plan.batch,
                                depth=depth, mesh=mesh, apply=pinned_apply,
                                params=params, data_range=data_range)

@@ -80,6 +80,12 @@ def available_ids():
     return sorted(_REGISTRY)
 
 
+def all_specs():
+    """Every registered ModelSpec, ordered by model_id."""
+    _ensure_populated()
+    return [_REGISTRY[i] for i in sorted(_REGISTRY)]
+
+
 def _ensure_populated() -> None:
     # zoo registration lives in models/zoo.py; import deferred to avoid cycles
     if not _REGISTRY:

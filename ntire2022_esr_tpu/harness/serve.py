@@ -171,7 +171,7 @@ def main(argv=None):
     frames, names, count = _frames(args)
     t0 = time.perf_counter()
     if plan.method == "fori":
-        served = _serve_tiled(plan, frames, names, args.save_dir)
+        served, t0 = _serve_tiled(plan, frames, names, args.save_dir)
     else:
         if args.tier:
             # explicit-tier server: same pinning shape as make_server
@@ -185,7 +185,10 @@ def main(argv=None):
                                            max_batch=args.batch, depth=args.depth)
         if not args.no_warmup:
             head = next(frames)
-            srv.warmup(head.shape[:2], batch=min(srv.plan.batch, count))
+            # warm the EFFECTIVE dispatch batch: with --batch N the server
+            # dispatches N, not the plan's (possibly much larger) batch
+            srv.warmup(head.shape[:2],
+                       batch=min(args.batch or srv.plan.batch, count))
             t0 = time.perf_counter()  # throughput excludes compilation
 
             def _chain(h, rest):

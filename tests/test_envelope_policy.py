@@ -122,3 +122,28 @@ def test_real_artifact_loads_if_present():
             assert p.chunk and p.batch % p.chunk == 0
         if p.tier != "high":
             assert p.tier_delta_db is not None and abs(p.tier_delta_db) <= 0.005
+
+
+def test_real_artifact_methods_match_registry():
+    """Dispatch-method integrity vs the registry: every registry-tiled
+    model (spec.tile is not None, reference test_demo.py:337) must route to
+    the tiled (fori) runner — the sweep's 'chain' timing label must never
+    leak into the artifact as an untiled full-image deployment — and no
+    untiled model may claim the fori route or an unregistered stage split."""
+    try:
+        plans = envelope.load_envelope()
+    except FileNotFoundError:
+        pytest.skip("gated envelope artifact not generated in this checkout")
+    from ntire2022_esr_tpu.harness import stagesplit
+
+    for p in plans.values():
+        spec = registry.get_spec(p.model_id)
+        if spec.tile is not None:
+            assert p.method == "fori", (
+                f"{p.name}: registry mandates tiled dispatch, artifact says "
+                f"{p.method!r}")
+        else:
+            assert p.method != "fori", f"{p.name}: fori row for untiled model"
+        if p.method == "split":
+            assert stagesplit.get_split(p.model_id) is not None, (
+                f"{p.name}: split plan without a registered stage split")

@@ -2,9 +2,11 @@
 
 The real envelope (results/protocol/zoo_sustained_gated.json) is produced
 from on-chip measurements; these tests keep the adjudication rules honest:
-a non-high tier enters only with BOTH an on-chip sustained row and a
-measured benchmark delta within the gate, forced-variant delta rows are
-ignored, and the envelope never degrades below the high row.
+a non-high tier enters only with an on-chip sustained row AND a benchmark
+delta measured on >= min_images surrogate images AND |mean delta| within
+the gate AND |worst per-image delta| within the worst-image bar;
+forced-variant delta rows are ignored, and the envelope never degrades
+below the high row.
 """
 
 import json
@@ -51,21 +53,25 @@ def proto(tmp_path):
         # RLFN: fast fails the 0.005 gate, fast16 passes but is SLOWER
         # than high -> keeps high
         "04_RLFN|attn=auto|tail=auto|fast,fast16": {
-            "model_id": 4, "images": 2, "attn": "auto", "tail": "auto",
+            "model_id": 4, "images": 8, "attn": "auto", "tail": "auto",
             "w8": False, "parity_psnr": 26.8,
-            "delta_db": {"fast": -0.0222, "fast16": 0.0004}},
+            "delta_db": {"fast": -0.0222, "fast16": 0.0004},
+            "delta_db_worst": {"fast": -0.0310, "fast16": 0.0007}},
         # SCET: fast passes AND is faster -> flips
         "30_SCET|attn=auto|tail=auto|fast,fast16": {
-            "model_id": 30, "images": 2, "attn": "auto", "tail": "auto",
+            "model_id": 30, "images": 8, "attn": "auto", "tail": "auto",
             "w8": False, "parity_psnr": 26.4,
-            "delta_db": {"fast": 0.0009, "fast16": 0.0012}},
+            "delta_db": {"fast": 0.0009, "fast16": 0.0012},
+            "delta_db_worst": {"fast": 0.0021, "fast16": 0.0030}},
         # forced-variant rows must NOT count toward the envelope
         "30_SCET|attn=auto|tail=bf16|high": {
-            "model_id": 30, "images": 2, "attn": "auto", "tail": "bf16",
-            "w8": False, "parity_psnr": 26.4, "delta_db": {"high": -0.9}},
+            "model_id": 30, "images": 8, "attn": "auto", "tail": "bf16",
+            "w8": False, "parity_psnr": 26.4, "delta_db": {"high": -0.9},
+            "delta_db_worst": {"high": -1.2}},
         "04_RLFN|attn=auto|tail=auto|w8|fast": {
-            "model_id": 4, "images": 2, "attn": "auto", "tail": "auto",
-            "w8": True, "parity_psnr": 26.8, "delta_db": {"fast": 0.0}},
+            "model_id": 4, "images": 8, "attn": "auto", "tail": "auto",
+            "w8": True, "parity_psnr": 26.8, "delta_db": {"fast": 0.0},
+            "delta_db_worst": {"fast": 0.0}},
     })
     return d
 
@@ -84,7 +90,8 @@ def test_gate_and_speed_jointly_required(proto):
     assert env["30_SCET"]["tier"] == "fast"
     assert env["30_SCET"]["ms_per_image_sustained"] == 2.87
     assert env["30_SCET"]["tier_delta_db"] == pytest.approx(0.0009)
-    assert env["30_SCET"]["delta_images"] == 2
+    assert env["30_SCET"]["tier_delta_db_worst"] == pytest.approx(0.0021)
+    assert env["30_SCET"]["delta_images"] == 8
 
 
 def test_forced_variant_rows_ignored(proto):
@@ -99,19 +106,70 @@ def test_forced_variant_rows_ignored(proto):
     assert deltas["04_RLFN"]["fast"][0] == pytest.approx(-0.0222)
 
 
-def test_worst_case_delta_wins(proto):
-    # a second AUTO-config row with a larger |delta| must replace the
-    # smaller one (conservative adjudication)
+def test_best_powered_measurement_wins(proto):
+    # a MORE-IMAGES AUTO-config row must replace a smaller-sample one
+    # (the best-powered measurement adjudicates); same-size rows break
+    # toward the larger |delta| (conservative)
     art = json.load(open(os.path.join(proto, "numerics_delta_r4.json")))
     art["30_SCET|attn=auto|tail=auto|fast"] = {
-        "model_id": 30, "images": 4, "attn": "auto", "tail": "auto",
-        "w8": False, "parity_psnr": 26.4, "delta_db": {"fast": -0.0060}}
+        "model_id": 30, "images": 12, "attn": "auto", "tail": "auto",
+        "w8": False, "parity_psnr": 26.4, "delta_db": {"fast": -0.0060},
+        "delta_db_worst": {"fast": -0.0080}}
     _write(proto, "numerics_delta_r4.json", art)
     env = _run(proto)
-    # worst-case fast delta (-0.006) now fails the 0.005 gate; the next
+    # the 12-image fast delta (-0.006) fails the 0.005 gate; the next
     # faster-than-high passing tier (fast16, 9.0 < 19.8 ms) wins instead
     assert env["30_SCET"]["tier"] == "fast16"
     assert env["30_SCET"]["ms_per_image_sustained"] == 9.0
+
+
+def test_same_sample_ties_break_conservative(proto):
+    # equal-images rows: the larger-|delta| one adjudicates
+    art = json.load(open(os.path.join(proto, "numerics_delta_r4.json")))
+    art["30_SCET|attn=auto|tail=auto|fast"] = {
+        "model_id": 30, "images": 8, "attn": "auto", "tail": "auto",
+        "w8": False, "parity_psnr": 26.4, "delta_db": {"fast": -0.0060},
+        "delta_db_worst": {"fast": -0.0080}}
+    _write(proto, "numerics_delta_r4.json", art)
+    deltas = mge.gated_deltas(json.load(
+        open(os.path.join(proto, "numerics_delta_r4.json"))))
+    assert deltas["30_SCET"]["fast"][0] == pytest.approx(-0.0060)
+
+
+def test_under_powered_measurement_never_flips(proto):
+    # a 2-image spot check (round-4 legacy) cannot flip a tier, no matter
+    # how good its delta looks
+    art = json.load(open(os.path.join(proto, "numerics_delta_r4.json")))
+    row = art.pop("30_SCET|attn=auto|tail=auto|fast,fast16")
+    row["images"] = 2
+    art["30_SCET|attn=auto|tail=auto|fast,fast16"] = row
+    _write(proto, "numerics_delta_r4.json", art)
+    env = _run(proto)
+    assert env["30_SCET"]["tier"] == "high"
+    # ... unless the caller explicitly lowers the evidence bar
+    env = _run(proto, "--min_images", "2")
+    assert env["30_SCET"]["tier"] == "fast"
+
+
+def test_worst_image_bound_blocks_flip(proto):
+    # mean delta passes the gate but one image shifts past the +-0.01 dB
+    # reproducibility bar -> not admissible
+    art = json.load(open(os.path.join(proto, "numerics_delta_r4.json")))
+    row = art["30_SCET|attn=auto|tail=auto|fast,fast16"]
+    row["delta_db_worst"] = {"fast": -0.0150, "fast16": 0.0200}
+    _write(proto, "numerics_delta_r4.json", art)
+    env = _run(proto)
+    assert env["30_SCET"]["tier"] == "high"
+
+
+def test_legacy_row_without_worst_never_flips(proto):
+    # rows that predate per-image tracking carry no worst bound and are
+    # not admissible evidence
+    art = json.load(open(os.path.join(proto, "numerics_delta_r4.json")))
+    del art["30_SCET|attn=auto|tail=auto|fast,fast16"]["delta_db_worst"]
+    _write(proto, "numerics_delta_r4.json", art)
+    env = _run(proto)
+    assert env["30_SCET"]["tier"] == "high"
 
 
 def test_missing_delta_never_flips(proto):
@@ -125,9 +183,9 @@ def test_missing_delta_never_flips(proto):
 
 def test_gate_widening_admits_more(proto):
     # at the reference's own +-0.01 bar RLFN's fast16 still passes but is
-    # slower; its fast (-0.0222) still fails -> high. A wide 0.05 gate
-    # admits fast.
-    env = _run(proto, "--gate", "0.05")
+    # slower; its fast (-0.0222, worst -0.031) still fails -> high. Widening
+    # both bars to 0.05 admits fast.
+    env = _run(proto, "--gate", "0.05", "--worst_gate", "0.05")
     assert env["04_RLFN"]["tier"] == "fast"
     assert env["04_RLFN"]["ms_per_image_sustained"] == 0.80
 

@@ -46,12 +46,14 @@ def _load(proto_dir, name):
 
 
 def gated_deltas(delta_art):
-    """name -> mode -> (worst-case measured benchmark delta, images).
+    """name -> mode -> (delta, images, worst-per-image delta | None).
 
-    'Worst-case' = the largest-|.| across all rows for that (name, mode)
-    measured with the shipped AUTO storage config; forced variants
-    (tail=bf16/f16, attn overrides, w8) are tier measurements for OTHER
-    ledgers and do not count toward the envelope.
+    Per (name, mode) the MOST-IMAGES row wins (the best-powered
+    measurement); ties break toward the largest-|delta| (conservative).
+    Only rows measured with the shipped AUTO storage config count; forced
+    variants (tail=bf16/f16, attn overrides, w8) are tier measurements for
+    OTHER ledgers and do not enter the envelope. ``worst`` is None for
+    legacy rows that predate per-image tracking.
     """
     out = {}
     for key, row in delta_art.items():
@@ -60,19 +62,42 @@ def gated_deltas(delta_art):
             continue
         if row.get("w8"):
             continue
+        n = row.get("images", 0)
         for mode, d in row.get("delta_db", {}).items():
+            worst = row.get("delta_db_worst", {}).get(mode)
             cur = out.setdefault(name, {})
-            if mode not in cur or abs(d) > abs(cur[mode][0]):
-                cur[mode] = (d, row.get("images", 0))
+            old = cur.get(mode)
+            if (old is None or n > old[1]
+                    or (n == old[1] and abs(d) > abs(old[0]))):
+                cur[mode] = (d, n, worst)
     return out
 
 
-def build_envelope(base, deltas, tier_rows, gate):
+def build_envelope(base, deltas, tier_rows, gate, tiled_names=(),
+                   min_images=8, worst_gate=0.01):
     """Per model: fastest tier whose measured |benchmark delta| <= gate.
 
     ``base`` rows (high + benchmark-gated AUTO storage) are always
     admissible; a non-high tier needs BOTH an on-chip sustained row and a
     measured delta. The envelope never degrades below the high row.
+
+    ``tiled_names``: models whose registry spec mandates the overlap-tile
+    dispatch (``spec.tile is not None`` — e.g. 02_NLFFC, reference
+    ``test_demo.py:337``). The sweep's ``method`` field is a TIMING
+    methodology, not a dispatch schedule: a ``chain`` row for a tiled
+    model was measured on tile-sized images and does NOT license untiled
+    full-image serving (unmeasured memory, parity-unvalidated outputs).
+    Such models only admit candidate rows whose method is ``fori``, and
+    the emitted row is forced to the tiled route either way.
+
+    Admission for a non-high tier requires ALL of:
+      - an on-chip sustained row (and, for tiled models, a fori one),
+      - a benchmark delta measured on >= ``min_images`` surrogate images
+        at true DIV2K shapes (2-image spot checks don't flip tiers),
+      - |mean delta| <= ``gate`` AND |worst per-image delta| <=
+        ``worst_gate`` (the reference's own ±0.01 dB reproducibility bar,
+        test_demo.py:447) — a row that predates per-image tracking
+        (worst is None) is NOT admissible.
     """
     env = {}
     for name in sorted(base, key=lambda n: base[n]["model_id"]):
@@ -84,13 +109,30 @@ def build_envelope(base, deltas, tier_rows, gate):
             d = deltas.get(name, {}).get(mode)
             if row is None or d is None:
                 continue
-            if abs(d[0]) > gate:
+            if name in tiled_names and row.get("method") != "fori":
+                continue  # tile-sized timing row, not a deployable schedule
+            delta, n_imgs, worst = d
+            if n_imgs < min_images:
+                continue  # under-powered measurement can't flip a tier
+            if abs(delta) > gate:
+                continue
+            if worst is None or abs(worst) > worst_gate:
                 continue
             if row["ms_per_image_sustained"] < best["ms_per_image_sustained"]:
                 best = dict(row)
                 best["tier"] = mode
-                best["tier_delta_db"] = d[0]
-                best["delta_images"] = d[1]
+                best["tier_delta_db"] = delta
+                best["tier_delta_db_worst"] = worst
+                best["delta_images"] = n_imgs
+        # Normalize `method` to the DISPATCH schedule the serving layer
+        # executes (the sweeps use the same field for the TIMING loop —
+        # e.g. 12_HNCT's high row was timed fori-looped but serves as a
+        # plain batch chain): tiled registry models -> the tiler ('fori'),
+        # stage-split rows -> 'split', everything else -> 'chain'.
+        if name in tiled_names:
+            best["method"] = "fori"  # registry-mandated dispatch
+        elif best.get("method") != "split":
+            best["method"] = "chain"
         env[name] = best
     return env
 
@@ -100,6 +142,12 @@ def main(argv=None):
     ap.add_argument("--gate", type=float, default=0.005,
                     help="max |benchmark PSNR delta| (dB) for a non-high "
                          "tier to enter the envelope")
+    ap.add_argument("--worst_gate", type=float, default=0.01,
+                    help="max |WORST per-image protocol PSNR delta| (dB) — "
+                         "the reference's own reproducibility bar")
+    ap.add_argument("--min_images", type=int, default=8,
+                    help="min surrogate images behind a delta measurement "
+                         "for it to flip a tier")
     ap.add_argument("--proto_dir", default=DEFAULT_PROTO,
                     help="artifact directory (results/protocol)")
     ap.add_argument("--extra", nargs="*", default=[],
@@ -114,6 +162,12 @@ def main(argv=None):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from merge_sustained import TITAN_MS
 
+    # registry-mandated tiled dispatch (spec.tile is not None)
+    sys.path.insert(0, REPO)
+    from ntire2022_esr_tpu.harness import registry
+    from ntire2022_esr_tpu.models import zoo  # noqa: F401  (registers specs)
+    tiled_names = {s.name for s in registry.all_specs() if s.tile is not None}
+
     base = _load(args.proto_dir, "zoo_sustained.json")
     deltas = gated_deltas(_load(args.proto_dir, "numerics_delta_r4.json"))
 
@@ -127,10 +181,13 @@ def main(argv=None):
             if cur is None or row["ms_per_image_sustained"] < cur["ms_per_image_sustained"]:
                 tier_rows[name][mode] = row
 
-    env = build_envelope(base, deltas, tier_rows, args.gate)
+    env = build_envelope(base, deltas, tier_rows, args.gate, tiled_names,
+                         min_images=args.min_images,
+                         worst_gate=args.worst_gate)
 
-    print("| model | ms/img | tier | batch | delta dB | Titan ms | speedup |")
-    print("|---|---|---|---|---|---|---|")
+    print("| model | ms/img | tier | batch | delta dB | worst img | n | "
+          "Titan ms | speedup |")
+    print("|---|---|---|---|---|---|---|---|---|")
     sps = []
     flipped = 0
     for name, r in env.items():
@@ -140,9 +197,12 @@ def main(argv=None):
         sps.append(sp)
         d = r["tier_delta_db"]
         dcol = "AUTO ledger" if d is None else f"{d:+.4f}"
+        w = r.get("tier_delta_db_worst")
+        wcol = "—" if w is None else f"{w:+.4f}"
+        n = r.get("delta_images", "—")
         flipped += r["tier"] != "high"
         print(f"| {name} | {ms:.2f} | {r['tier']} | {r.get('batch')} | {dcol} "
-              f"| {ti:.1f} | {sp:.1f}x |")
+              f"| {wcol} | {n} | {ti:.1f} | {sp:.1f}x |")
     geo = math.exp(sum(math.log(s) for s in sps) / len(sps))
     print(f"\ngate ±{args.gate} dB: {flipped} models flipped to a faster tier; "
           f"geomean {geo:.1f}x  min {min(sps):.1f}x  max {max(sps):.1f}x  "

@@ -91,8 +91,10 @@ def main(argv=None):
             bench = json.load(open(args.out))
 
         def protocol_psnr(spec, params, dr):
-            """Mean challenge-protocol PSNR vs HR in the CURRENT numerics
-            config (modcrop + border=4, reference test_demo.py:439-447)."""
+            """Challenge-protocol PSNR vs HR in the CURRENT numerics config
+            (modcrop + border=4, reference test_demo.py:439-447). Returns
+            (mean, per-image list) so callers can bound the WORST per-image
+            shift, not just the average."""
             f = jax.jit(lambda p, a: spec.apply(p, a))
             vals = []
             for lr_path, hr_path in pairs:
@@ -108,7 +110,7 @@ def main(argv=None):
                 hr_m = img_util.modcrop(hr, 4)
                 vals.append(calculate_psnr(
                     sr.astype(np.float64), hr_m.astype(np.float64), border=4))
-            return float(np.mean(vals))
+            return float(np.mean(vals)), [float(v) for v in vals]
 
     print(f"{'model':22} " + " ".join(f"{m + ' dB':>10}" for m in modes))
     for mid in ids:
@@ -170,26 +172,30 @@ def main(argv=None):
             config.set_attn_bf16("off")
             config.set_hr_tail("off")
             try:
-                base = protocol_psnr(spec, params, dr)
+                base, base_imgs = protocol_psnr(spec, params, dr)
             finally:
                 config.set_attn_bf16(prev_attn)
                 config.set_hr_tail(prev_tail)
             row = {"model_id": mid, "images": len(pairs),
                    "attn": args.attn, "tail": args.tail, "w8": args.w8,
-                   "parity_psnr": base, "delta_db": {}}
+                   "parity_psnr": base, "delta_db": {}, "delta_db_worst": {}}
             for mode in modes:
                 config.set_mode(mode)
                 config.set_attn_bf16(prev_attn if args.attn == "auto" else args.attn)
                 config.set_hr_tail(prev_tail if tail_force == "auto" else tail_force)
                 try:
-                    p_mode = protocol_psnr(spec, tier_params, dr)
+                    p_mode, mode_imgs = protocol_psnr(spec, tier_params, dr)
                 finally:
                     config.set_attn_bf16(prev_attn)
                     config.set_hr_tail(prev_tail)
+                per_img = [m - b for m, b in zip(mode_imgs, base_imgs)]
+                worst = max(per_img, key=abs)
                 row["delta_db"][mode] = p_mode - base
+                row["delta_db_worst"][mode] = worst
                 print(f"  benchmark {mode:8} (attn={args.attn}, tail={args.tail}): "
                       f"{p_mode:.4f} dB vs parity {base:.4f} "
-                      f"(delta {p_mode - base:+.4f})", flush=True)
+                      f"(delta {p_mode - base:+.4f}, worst img {worst:+.4f})",
+                      flush=True)
             key = (f"{spec.name}|attn={args.attn}|tail={args.tail}"
                    + ("|w8" if args.w8 else "") + "|" + ",".join(modes))
             bench[key] = row
