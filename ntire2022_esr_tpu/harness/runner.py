@@ -269,8 +269,14 @@ def run_batched(
         fence(out)
         elapsed_ms = (time.perf_counter() - t0) * 1000.0
         sr = np.asarray(out)[: len(items)]
+        # attribute per-SLOT time: mesh-divisibility padding slots run the
+        # same compute as real images, so elapsed/len(batch) is the true
+        # per-image device rate at this batch shape — charging the padded
+        # slots' compute to the real images would inflate their time
+        # whenever len(items) % pad_to != 0
+        per_img_ms = elapsed_ms / len(batch)
         for k, (lr_path, hr_path, _) in enumerate(items):
-            results[f"{mode}_runtime"].append(elapsed_ms / len(items))
+            results[f"{mode}_runtime"].append(per_img_ms)
             per_image[hr_path] = (sr[k], lr_path)
 
     for lr_path, hr_path in pairs:

@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("ids", nargs="+", type=int)
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--sr_dir", default="/tmp/tpu_protocol_sr")
+    ap.add_argument("--ref_sr_dir", default=None,
+                    help="directory of reference SR PNGs saved by "
+                         "tools/run_reference_protocol.py --save_dir (same "
+                         "<name>/valid/NNNN.png layout) — compares saved "
+                         "trees directly instead of re-running torch")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -46,8 +51,17 @@ def main(argv=None):
     report = {}
     for model_id in args.ids:
         ns = types.SimpleNamespace(model_id=model_id)
-        model, name, data_range, tile = test_demo.select_model(ns, torch.device("cpu"))
-        model = model.float().eval()
+        if args.ref_sr_dir:
+            # name lookup without instantiating the model: the saved trees
+            # are keyed by registry name, identical to select_model's
+            sys.path.insert(0, REPO)
+            from ntire2022_esr_tpu.harness.registry import get_spec
+
+            name, data_range, tile, model = get_spec(model_id).name, None, None, None
+        else:
+            model, name, data_range, tile = test_demo.select_model(
+                ns, torch.device("cpu"))
+            model = model.float().eval()
         pairs = [(l, h) for l, h in test_demo.select_dataset(args.data_dir, "valid")
                  if os.path.exists(l)]
         rows = []
@@ -57,10 +71,20 @@ def main(argv=None):
             if not os.path.exists(tpu_png):
                 print(f"[{name}] {img_name}: no TPU SR saved, skipping", file=sys.stderr)
                 continue
-            x = util.uint2tensor4(util.imread_uint(lr_path, n_channels=3), data_range)
-            with torch.no_grad():
-                y = test_demo.forward(x, model, tile)
-            ref_sr = util.tensor2uint(y, data_range)
+            if args.ref_sr_dir:
+                ref_png = os.path.join(args.ref_sr_dir, name, "valid",
+                                       img_name[:4] + ext)
+                if not os.path.exists(ref_png):
+                    print(f"[{name}] {img_name}: no reference SR saved, "
+                          f"skipping", file=sys.stderr)
+                    continue
+                ref_sr = util.imread_uint(ref_png, n_channels=3)
+            else:
+                x = util.uint2tensor4(util.imread_uint(lr_path, n_channels=3),
+                                      data_range)
+                with torch.no_grad():
+                    y = test_demo.forward(x, model, tile)
+                ref_sr = util.tensor2uint(y, data_range)
             tpu_sr = util.imread_uint(tpu_png, n_channels=3)
             ndiff = int(np.count_nonzero(ref_sr.astype(np.int16) - tpu_sr.astype(np.int16)))
             rows.append({"image": img_name, "pixels": int(ref_sr.size),

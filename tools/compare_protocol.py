@@ -29,24 +29,39 @@ def main(argv=None):
 
     rows = []
     worst = (0.0, None)
+    worst_ssim = (0.0, None)
     missing = sorted(set(ref) ^ set(tpu))
     n_images = 0
+    have_ssim = False
     for name in sorted(set(ref) & set(tpu)):
         r, t = ref[name], tpu[name]
         if r["images"] != t["images"]:
             common = [i for i in r["images"] if i in t["images"]]
             rp = [p for i, p in zip(r["images"], r["valid_psnr"]) if i in common]
             tp = [p for i, p in zip(t["images"], t["valid_psnr"]) if i in common]
+            rs = [p for i, p in zip(r["images"], r.get("valid_ssim", []))
+                  if i in common]
+            ts = [p for i, p in zip(t["images"], t.get("valid_ssim", []))
+                  if i in common]
         else:
             rp, tp = r["valid_psnr"], t["valid_psnr"]
+            rs, ts = r.get("valid_ssim", []), t.get("valid_ssim", [])
         if not rp or not tp:
             missing.append(f"{name} (no common images between artifacts)")
             continue
         deltas = [abs(a - b) for a, b in zip(tp, rp)]
         n_images = max(n_images, len(deltas))
         ave_delta = abs(sum(tp) / len(tp) - sum(rp) / len(rp))
+        sd = None
+        if rs and ts and len(rs) == len(ts):
+            # SSIM is a scored protocol output (test_demo.py:450-453)
+            have_ssim = True
+            sdeltas = [abs(a - b) for a, b in zip(ts, rs)]
+            sd = (abs(sum(ts) / len(ts) - sum(rs) / len(rs)), max(sdeltas))
+            if max(sdeltas) > worst_ssim[0]:
+                worst_ssim = (max(sdeltas), name)
         rows.append((name, sum(rp) / len(rp), sum(tp) / len(tp), ave_delta, max(deltas),
-                     t.get("valid_ave_runtime_ms", 0.0)))
+                     sd, t.get("valid_ave_runtime_ms", 0.0)))
         if max(deltas) > worst[0]:
             worst = (max(deltas), name)
 
@@ -71,17 +86,26 @@ def main(argv=None):
         "not comparable to the published table; *deltas between the two runs on",
         "identical pixels* are what the challenge's +-0.01 dB parity claim is about.",
         "",
-        "| model | ref ave PSNR | tpu ave PSNR | ave delta [dB] | max per-image delta | tpu ms/img |",
-        "|---|---|---|---|---|---|",
+        "| model | ref ave PSNR | tpu ave PSNR | ave delta [dB] | max per-image delta "
+        + ("| ave SSIM delta | max SSIM delta " if have_ssim else "")
+        + "| tpu ms/img |",
+        "|---|---|---|---|---" + ("|---|---" if have_ssim else "") + "|---|",
     ]
     n_pass = 0
-    for name, ra, ta, ad, md_, ms in rows:
+    for name, ra, ta, ad, md_, sd, ms in rows:
         ok = ad <= 0.01
         n_pass += ok
+        scol = ""
+        if have_ssim:
+            scol = ("| — | — " if sd is None
+                    else f"| {sd[0]:.6f} | {sd[1]:.6f} ")
         lines.append(f"| {name} | {ra:.4f} | {ta:.4f} | {ad:.4f}{'' if ok else ' **FAIL**'} "
-                     f"| {md_:.4f} | {ms:.1f} |")
+                     f"| {md_:.4f} {scol}| {ms:.1f} |")
     summary = (f"**{n_pass}/{len(rows)} models within +-0.01 dB average**; "
                f"worst per-image delta {worst[0]:.4f} dB ({worst[1]}).")
+    if have_ssim:
+        summary += (f" Worst per-image SSIM delta {worst_ssim[0]:.6f} "
+                    f"({worst_ssim[1]}).")
     if missing:
         summary += f"\n\nIn one artifact only (skipped/failed on the other side): {', '.join(missing)}."
     out = "\n".join(lines) + "\n\n" + summary + "\n"

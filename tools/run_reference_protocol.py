@@ -31,6 +31,12 @@ def main(argv=None):
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--threads", type=int, default=0)
+    ap.add_argument("--ssim", action="store_true",
+                    help="also score SSIM (reference test_demo.py:450-453)")
+    ap.add_argument("--save_dir", default=None,
+                    help="save the reference SR outputs as "
+                         "<save_dir>/<name>/valid/NNNN.png — the byte-level "
+                         "oracle for tools/check_bitexact.py --ref_sr_dir")
     args = ap.parse_args(argv)
 
     import torch
@@ -70,7 +76,11 @@ def main(argv=None):
         pairs = [(l, h) for l, h in pairs if os.path.exists(l) and os.path.exists(h)]
         if not pairs:
             sys.exit(f"no DIV2K valid pairs under {args.data_dir}")
-        psnrs, names = [], []
+        psnrs, ssims, names = [], [], []
+        save_path = None
+        if args.save_dir:
+            save_path = os.path.join(args.save_dir, name, "valid")
+            os.makedirs(save_path, exist_ok=True)
         t0 = time.time()
         for lr_path, hr_path in pairs:
             img_lr = util.imread_uint(lr_path, n_channels=3)
@@ -82,7 +92,14 @@ def main(argv=None):
             psnr = util.calculate_psnr(sr, hr, border=border)
             psnrs.append(float(psnr))
             names.append(os.path.basename(hr_path))
-            print(f"  {names[-1]}: {psnr:.4f} dB", file=sys.stderr)
+            line = f"  {names[-1]}: {psnr:.4f} dB"
+            if args.ssim:
+                ssims.append(float(util.calculate_ssim(sr, hr, border=border)))
+                line += f"; SSIM {ssims[-1]:.6f}"
+            if save_path:
+                img_name, ext = os.path.splitext(names[-1])
+                util.imsave(sr, os.path.join(save_path, img_name[:4] + ext))
+            print(line, file=sys.stderr)
         results[name] = {
             "model_id": model_id,
             "images": names,
@@ -90,6 +107,9 @@ def main(argv=None):
             "valid_ave_psnr": sum(psnrs) / len(psnrs),
             "host_seconds": time.time() - t0,
         }
+        if args.ssim:
+            results[name]["valid_ssim"] = ssims
+            results[name]["valid_ave_ssim"] = sum(ssims) / len(ssims)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
         print(f"[{model_id}] {name}: ave {results[name]['valid_ave_psnr']:.4f} dB "

@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     ap.add_argument("--mode", default="parity")
     ap.add_argument("--save_dir", default="/tmp/tpu_protocol_sr")
+    ap.add_argument("--ssim", action="store_true",
+                    help="also score SSIM (reference test_demo.py:450-453)")
     args = ap.parse_args(argv)
 
     from ntire2022_esr_tpu import config
@@ -63,7 +65,7 @@ def main(argv=None):
                  if os.path.exists(l) and os.path.exists(h)]
         if not pairs:
             sys.exit(f"no DIV2K valid pairs under {args.data_dir}")
-        ns = types.SimpleNamespace(save_dir=args.save_dir, ssim=False)
+        ns = types.SimpleNamespace(save_dir=args.save_dir, ssim=args.ssim)
         t0 = time.time()
         try:
             res = runner.run(apply, params, name, data_range, tile, logger, ns,
@@ -82,6 +84,9 @@ def main(argv=None):
             "valid_ave_runtime_ms": res["valid_ave_runtime"],
             "wall_seconds": time.time() - t0,
         }
+        if args.ssim:
+            results[name]["valid_ssim"] = res["valid_ssim"]
+            results[name]["valid_ave_ssim"] = res["valid_ave_ssim"]
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
         print(f"[{model_id}] {name}: ave {res['valid_ave_psnr']:.4f} dB, "
