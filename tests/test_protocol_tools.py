@@ -86,3 +86,52 @@ def test_compare_protocol_pass_fail(tmp_path, capsys):
     compare_protocol.main(["--ref", str(ref), "--tpu", str(tpu)])
     bad = capsys.readouterr().out
     assert "FAIL" in bad
+
+
+def test_run_tpu_protocol_ssim(tmp_path):
+    # --ssim scores the protocol's second metric (reference
+    # test_demo.py:450-453) per image and in aggregate
+    import run_tpu_protocol
+
+    data_dir = _make_div2k(tmp_path / "data", n=2)
+    out = str(tmp_path / "tpu.json")
+    run_tpu_protocol.main([
+        "--data_dir", data_dir, "--out", out,
+        "--save_dir", str(tmp_path / "sr"), "--ssim", "4",
+    ])
+    row = json.load(open(out))["04_RLFN"]
+    assert len(row["valid_ssim"]) == 2
+    assert all(-1.0 <= s <= 1.0 for s in row["valid_ssim"])
+    assert row["valid_ave_ssim"] == pytest.approx(
+        sum(row["valid_ssim"]) / 2)
+
+
+def test_compare_protocol_ssim_columns(tmp_path, capsys):
+    import compare_protocol
+
+    def art(psnrs, ssims=None):
+        row = {"model_id": 4, "images": ["0801.png", "0802.png"],
+               "valid_psnr": psnrs,
+               "valid_ave_psnr": sum(psnrs) / len(psnrs),
+               "valid_ave_runtime_ms": 1.0}
+        if ssims is not None:
+            row["valid_ssim"] = ssims
+            row["valid_ave_ssim"] = sum(ssims) / len(ssims)
+        return {"m": row}
+
+    ref, tpu = tmp_path / "ref.json", tmp_path / "tpu.json"
+    ref.write_text(json.dumps(art([30.0, 31.0], [0.90, 0.91])))
+    tpu.write_text(json.dumps(art([30.0, 31.0], [0.90, 0.9105])))
+    compare_protocol.main(["--ref", str(ref), "--tpu", str(tpu)])
+    out = capsys.readouterr().out
+    assert "ave SSIM delta" in out
+    assert "0.000250" in out   # ave |0.9105-0.91|/2 over 2 images
+    assert "0.000500" in out   # max per-image SSIM delta
+    assert "Worst per-image SSIM delta 0.000500 (m)" in out
+
+    # artifacts without SSIM keep the PSNR-only table
+    ref.write_text(json.dumps(art([30.0, 31.0])))
+    tpu.write_text(json.dumps(art([30.0, 31.0])))
+    compare_protocol.main(["--ref", str(ref), "--tpu", str(tpu)])
+    out = capsys.readouterr().out
+    assert "SSIM" not in out
