@@ -86,21 +86,27 @@ def _frames(args) -> Tuple[Iterator[np.ndarray], List[Optional[str]], int]:
 def _serve_tiled(plan, frames, names, save_dir, warmup=True):
     """Image-at-a-time tiled serving for ``fori``-method plans.
 
+    Dispatches through ``tiling.ChunkedTiler``: the expensive model
+    executable is jitted once over a fixed ``(chunk, tile, tile, C)``
+    batch — image-shape INDEPENDENT, so a stream of differently-sized
+    frames does not recompile the body (only the tiny per-shape
+    gather/blend helpers).
+
     Returns ``(served_count, t0)`` where ``t0`` is the throughput-clock
     start — taken after the first frame pre-compiled the tile executable
     when ``warmup`` is on (tile shape is fixed, so one frame warms all).
     """
-    from ntire2022_esr_tpu.harness.tiling import tiled_apply
+    from ntire2022_esr_tpu.harness.tiling import ChunkedTiler
 
     with config.numerics_mode(plan.tier):
         apply, params, name, dr, tile = registry.build_model(plan.model_id)
     spec = registry.get_spec(plan.model_id)
+    tiler = ChunkedTiler(apply, tile, chunk=spec.max_tiles_per_call)
 
     def one(frame):
         with config.numerics_mode(plan.tier):
             x = img_util.uint2nhwc(frame, dr)
-            y = tiled_apply(apply, params, x, tile,
-                            max_tiles_per_call=spec.max_tiles_per_call)
+            y = tiler(params, x)
             return img_util.nhwc2uint(np.asarray(y, np.float32), dr)
 
     frames = iter(frames)

@@ -117,3 +117,60 @@ def test_cli_sweep_isolates_failures(tmp_path):
     finally:
         os.chdir(cwd)
         data_mod.select_dataset = orig
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="no NLFFC golden")
+@pytest.mark.parametrize("chunk", [1, 2, 4])
+def test_chunked_tiler_matches_tiled_apply(rng, chunk):
+    """The dispatch-chunked serving tiler must reproduce tiled_apply's
+    equal-weight E/W blend exactly (incl. masked ragged final chunks)."""
+    from ntire2022_esr_tpu.harness import registry, tiling
+
+    apply, params, name, dr, tile = registry.build_model(2)
+    x = rng.rand(1, 80, 100, 3).astype(np.float32) * dr  # 2x3 = 6 tiles @64
+    ref = np.asarray(tiling.tiled_apply(apply, params, x, tile=64,
+                                        tile_overlap=32,
+                                        max_tiles_per_call=chunk))
+    tiler = tiling.ChunkedTiler(apply, tile=64, tile_overlap=32, chunk=chunk)
+    out = np.asarray(tiler(params, x))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5 * dr)
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="no NLFFC golden")
+def test_chunked_tiler_small_frame_fallback(rng):
+    """Frames smaller than the tile take the whole-image path."""
+    from ntire2022_esr_tpu.harness import registry, tiling
+
+    apply, params, name, dr, tile = registry.build_model(2)
+    x = rng.rand(1, 40, 48, 3).astype(np.float32) * dr
+    tiler = tiling.ChunkedTiler(apply, tile=64, tile_overlap=32, chunk=2)
+    out = np.asarray(tiler(params, x))
+    ref = np.asarray(tiling.tiled_apply(apply, params, x, tile=64,
+                                        tile_overlap=32))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5 * dr)
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="no NLFFC golden")
+def test_chunked_tiler_shape_independent_model_executable(rng):
+    """The expensive model executable must be traced ONCE across frame
+    shapes (the serving win: per-shape recompiles touch only the tiny
+    gather/blend helpers)."""
+    from ntire2022_esr_tpu.harness import registry, tiling
+
+    apply, params, name, dr, tile = registry.build_model(2)
+    calls = []
+
+    def counting_apply(p, b):
+        calls.append(b.shape)
+        return apply(p, b)
+
+    tiler = tiling.ChunkedTiler(counting_apply, tile=64, tile_overlap=32,
+                                chunk=2)
+    tiler(params, rng.rand(1, 80, 100, 3).astype(np.float32) * dr)
+    n_traces_first = len(calls)
+    tiler(params, rng.rand(1, 100, 80, 3).astype(np.float32) * dr)
+    # jit tracing happens once per input signature: the second (different)
+    # frame shape must NOT re-trace the model body
+    assert len(calls) == n_traces_first
+    assert all(s == (2, 64, 64, 3) for s in calls)
