@@ -2,6 +2,11 @@
 # Round-5 device-job queue: runs serially after the gate re-measurement
 # (tools/remeasure_gate_r5.sh) completes, keeping the single chip busy
 # without contention. Each job appends to its own log under /tmp.
+#
+# v2: 02_NLFFC's admissible faster tier is fast16 (fast passed the mean
+# gate but FAILED the worst-image bound: -0.0150 dB on one surrogate;
+# fast16 measured +0.0001 mean / +0.0002 worst) — so the fori sustained
+# rows and the tiler probe's tier arm are fast16, not fast.
 set -u
 cd /root/repo
 
@@ -12,14 +17,14 @@ done
 
 {
   echo "=== job 1: NLFFC tiler probe (true shape, ceiling + tier arms) ==="
-  timeout 5400 python tools/bench_nlffc_tiler.py --iters 5
+  timeout 7200 python tools/bench_nlffc_tiler.py --iters 5 --modes high fast16
 
-  echo "=== job 2: NLFFC fast fori sustained rows (256, batch 1 + 2) ==="
-  timeout 2400 python tools/sweep_zoo_sustained.py --mode fast --method fori \
-      --out results/protocol/zoo_sustained_fast_fori_r5.json 2
-  timeout 2400 python tools/sweep_zoo_sustained.py --mode fast --method fori \
+  echo "=== job 2: NLFFC fast16 fori sustained rows (256, batch 1 + 2) ==="
+  timeout 2400 python tools/sweep_zoo_sustained.py --mode fast16 --method fori \
+      --out results/protocol/zoo_sustained_fast16_fori_r5.json 2
+  timeout 2400 python tools/sweep_zoo_sustained.py --mode fast16 --method fori \
       --batch 2 \
-      --out results/protocol/zoo_sustained_fast_fori_b2_r5.json 2
+      --out results/protocol/zoo_sustained_fast16_fori_b2_r5.json 2
 
   echo "=== job 3: full-zoo roofline at shipped operating points ==="
   timeout 14400 python tools/roofline_report.py --ids \
