@@ -206,3 +206,11 @@ def test_write_artifact(proto):
     out = json.load(open(os.path.join(proto, "zoo_sustained_gated.json")))
     assert set(out) == {"04_RLFN", "30_SCET"}
     assert out["30_SCET"]["tier"] == "fast"
+
+
+def test_pin_high_blocks_flip(proto):
+    # oracle-less models (HNCT: random-init deltas) can be pinned to high
+    # regardless of their measured numbers
+    env = mge.main(["--proto_dir", proto, "--pin_high", "30"])
+    assert env["30_SCET"]["tier"] == "high"
+    assert env["04_RLFN"]["tier"] == "high"  # unrelated rows unaffected

@@ -74,7 +74,7 @@ def gated_deltas(delta_art):
 
 
 def build_envelope(base, deltas, tier_rows, gate, tiled_names=(),
-                   min_images=8, worst_gate=0.01):
+                   min_images=8, worst_gate=0.01, pin_high=()):
     """Per model: fastest tier whose measured |benchmark delta| <= gate.
 
     ``base`` rows (high + benchmark-gated AUTO storage) are always
@@ -104,7 +104,8 @@ def build_envelope(base, deltas, tier_rows, gate, tiled_names=(),
         best = dict(base[name])
         best["tier"] = "high"
         best["tier_delta_db"] = None  # high+AUTO: gate carried by the AUTO ledger
-        for mode in ("fast16", "fast"):
+        modes = () if base[name]["model_id"] in pin_high else ("fast16", "fast")
+        for mode in modes:
             row = tier_rows.get(name, {}).get(mode)
             d = deltas.get(name, {}).get(mode)
             if row is None or d is None:
@@ -148,6 +149,12 @@ def main(argv=None):
     ap.add_argument("--min_images", type=int, default=8,
                     help="min surrogate images behind a delta measurement "
                          "for it to flip a tier")
+    ap.add_argument("--pin_high", nargs="*", type=int, default=[12],
+                    help="model ids pinned to the high tier regardless of "
+                         "measured deltas. Default: 12 (HNCT) — its real "
+                         "checkpoint is absent upstream, so its benchmark "
+                         "deltas are measured on a random-init net and "
+                         "cannot support a quality claim")
     ap.add_argument("--proto_dir", default=DEFAULT_PROTO,
                     help="artifact directory (results/protocol)")
     ap.add_argument("--extra", nargs="*", default=[],
@@ -183,7 +190,8 @@ def main(argv=None):
 
     env = build_envelope(base, deltas, tier_rows, args.gate, tiled_names,
                          min_images=args.min_images,
-                         worst_gate=args.worst_gate)
+                         worst_gate=args.worst_gate,
+                         pin_high=set(args.pin_high))
 
     print("| model | ms/img | tier | batch | delta dB | worst img | n | "
           "Titan ms | speedup |")
