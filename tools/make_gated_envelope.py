@@ -37,7 +37,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_PROTO = os.path.join(REPO, "results", "protocol")
 
 TIER_FILES = ["zoo_sustained_fast_r3.json", "zoo_sustained_fast_r4.json",
-              "zoo_sustained_fast16_r4.json"]
+              "zoo_sustained_fast16_r4.json",
+              # round-5 fori-dispatch rows for the tiled models (the only
+              # rows a registry-tiled model may admit — see build_envelope)
+              "zoo_sustained_fast_fori_r5.json",
+              "zoo_sustained_fast_fori_b2_r5.json",
+              "zoo_sustained_fast16_fori_r5.json",
+              "zoo_sustained_fast16_fori_b2_r5.json"]
 
 
 def _load(proto_dir, name):
