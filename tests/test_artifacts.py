@@ -87,11 +87,15 @@ def test_gated_envelope_loads_as_plans():
         assert (p.chunk is not None) == (p.method == "split"), p
 
 
-def test_roofline_rows_are_physical():
+@pytest.mark.parametrize("fname,min_rows", [
+    ("roofline_r3.json", 10),
+    ("roofline_r5.json", 42),  # round 5: full zoo at shipped operating points
+])
+def test_roofline_rows_are_physical(fname, min_rows):
     """measured >= bytes speed-of-light (sol_ratio >= 1): a sub-1 ratio
     means the cost-analysis bytes or the measurement regressed."""
-    art = _load("roofline_r3.json")
-    assert len(art) >= 10
+    art = _load(fname)
+    assert len(art) >= min_rows
     for name, row in art.items():
         assert row["sol_ratio"] >= 0.99, (name, row["sol_ratio"])
         assert row["measured_ms_per_img"] > 0, name
