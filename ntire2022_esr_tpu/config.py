@@ -45,6 +45,11 @@ class Numerics:
     param_dtype: jnp.dtype = jnp.float32
     conv_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     matmul_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # When set, conv/matmul OUTPUTS are stored in this dtype while the
+    # contraction itself runs in compute_dtype: the tensors that live in
+    # HBM between layers are 2-byte, but weights and accumulation keep
+    # f32 fidelity. None = store in the compute dtype (all other modes).
+    storage_dtype: "jnp.dtype | None" = None
 
 
 _MODES = {
@@ -83,6 +88,20 @@ _MODES = {
         param_dtype=jnp.float16,
         conv_precision=jax.lax.Precision.HIGH,
         matmul_precision=jax.lax.Precision.HIGH,
+    ),
+    # bf16 activation STORAGE with f32 weights and f32-grade (bf16x3)
+    # contractions: the inter-layer tensors that dominate the HBM-bound
+    # zoo's traffic are 2-byte like `fast`, but the tier's only error
+    # source is the per-layer bf16 rounding of activations — the weight
+    # rounding and 1-pass multiplies that `fast` adds (and that shift
+    # several models -0.005..-0.009 dB at benchmark level,
+    # numerics_delta_r4.json) are removed. The upcast/downcast converts
+    # fuse into the conv prologue/epilogue; the extra MXU passes are free
+    # on graphs whose roofline bound is HBM (roofline_r5.json: all 42).
+    "fasthi": Numerics(
+        conv_precision=jax.lax.Precision.HIGH,
+        matmul_precision=jax.lax.Precision.HIGH,
+        storage_dtype=jnp.bfloat16,
     ),
 }
 
@@ -345,10 +364,12 @@ def hr_tail(site: str) -> str:
     """Active HR-tail tier for ``site``: "off", "bf16" or "f16"."""
     if _hr_tail is None:
         # AUTO only upgrades f32-activation modes (high/mixed): in
-        # fast/fast16 the tail is already 2-byte and the published
-        # whole-model envelopes keep their pre-knob graphs (same
-        # rationale as the attn_bf16 f32-only guard in ops/attention.py)
-        if _active_name == "parity" or _active.compute_dtype != jnp.float32:
+        # fast/fast16 (2-byte compute) and fasthi (2-byte storage) the
+        # tail is already 2-byte and the published whole-model envelopes
+        # keep their pre-knob graphs (same rationale as the attn_bf16
+        # f32-only guard in ops/attention.py)
+        if (_active_name == "parity" or _active.compute_dtype != jnp.float32
+                or _active.storage_dtype is not None):
             return "off"
         return _HR_TAIL_AUTO_SITES.get(site, "off")
     return _hr_tail

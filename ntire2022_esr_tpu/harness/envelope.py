@@ -41,7 +41,7 @@ class ServingPlan:
 
     model_id: int
     name: str
-    tier: str                    # numerics mode: high | fast | fast16
+    tier: str                    # numerics mode: high | fast | fast16 | fasthi
     batch: int                   # sustained-optimal device batch
     method: str                  # chain | split | fori (tiled loop)
     chunk: Optional[int]         # split only: x4-tail chunk size

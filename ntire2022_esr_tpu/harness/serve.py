@@ -146,7 +146,8 @@ def main(argv=None):
                     help="LR shape for --synthetic (default 256 256)")
     ap.add_argument("--save_dir", default=None)
     ap.add_argument("--tier", default=None,
-                    choices=["parity", "high", "mixed", "fast", "fast16"],
+                    choices=["parity", "high", "mixed", "fast", "fast16",
+                             "fasthi"],
                     help="override the plan's numerics tier")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the plan's device batch")

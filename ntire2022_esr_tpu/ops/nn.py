@@ -105,6 +105,19 @@ def saturate_f16(out: jax.Array) -> jax.Array:
     return out
 
 
+def store_out(out: jax.Array, nm) -> jax.Array:
+    """Contraction epilogue: clamp f16 overflow, then round into the
+    storage dtype when the mode separates storage from compute (fasthi:
+    f32 contraction, bf16 inter-layer tensors — the astype fuses into the
+    producing kernel so HBM sees 2-byte activations). A no-op in every
+    mode with storage_dtype=None."""
+    out = saturate_f16(out)
+    sd = nm.storage_dtype
+    if sd is not None and out.dtype != sd:
+        out = out.astype(sd)
+    return out
+
+
 def conv2d(
     x: jax.Array,
     w: jax.Array,
@@ -151,7 +164,7 @@ def conv2d(
     )
     if b is not None:
         out = out + b.astype(out.dtype)
-    return saturate_f16(out)
+    return store_out(out, nm)
 
 
 def dequant_weight(p: Params) -> jax.Array:
@@ -217,7 +230,7 @@ def conv_transpose2d(
     )
     if b is not None:
         out = out + b.astype(out.dtype)
-    return saturate_f16(out)
+    return store_out(out, nm)
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
@@ -231,7 +244,7 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
     )
     if "bias" in p and p["bias"] is not None:
         out = out + p["bias"].astype(out.dtype)
-    return saturate_f16(out)
+    return store_out(out, nm)
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,43 @@ def test_saturating_cast_and_clamp():
     assert np.isinf(np.asarray(ops.nn.saturate_f16(f32))).all()
 
 
+def test_fasthi_is_high_contraction_rounded_to_bf16(rng):
+    # fasthi's defining invariant (config.py): the contraction runs with
+    # f32 operands at HIGH precision — identical to `high` — and ONLY the
+    # stored output is rounded to bf16. For an f32 input a single conv
+    # must therefore equal the high-mode conv bit-rounded to bf16.
+    x = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+    p = {"weight": jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.1),
+         "bias": jnp.asarray(rng.randn(8).astype(np.float32))}
+    with config.numerics_mode("high"):
+        ref = jax.jit(lambda pp, a: ops.conv(pp, a))(p, x)
+    with config.numerics_mode("fasthi"):
+        out = jax.jit(lambda pp, a: ops.conv(pp, a))(p, x)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32),
+        np.asarray(ref.astype(jnp.bfloat16), np.float32))
+
+
+def test_fasthi_model_agreement_beats_fast(rng):
+    # the tier's reason to exist: removing weight rounding + 1-pass
+    # multiplies leaves only activation-storage rounding, which must
+    # agree with parity strictly better than `fast` (measured ~3-6 dB
+    # tighter across the zoo on CPU; assert a conservative margin)
+    apply, params, name, dr, _ = registry.build_model(26)
+    x = jnp.asarray(rng.rand(1, 48, 48, 3).astype(np.float32) * dr)
+    outs = {}
+    for m in ("parity", "fast", "fasthi"):
+        with config.numerics_mode(m):
+            outs[m] = np.asarray(
+                jax.jit(lambda p, a, _m=m: apply(p, a))(params, x), np.float32)
+    def agree(m):
+        mse = np.mean((outs[m].astype(np.float64) - outs["parity"]) ** 2)
+        return 10 * np.log10(dr ** 2 / max(mse, 1e-12))
+    assert agree("fasthi") > 40.0
+    assert agree("fasthi") >= agree("fast") + 1.0
+
+
 def test_f16_pool_reductions_do_not_overflow():
     x = jnp.full((1, 48, 48, 8), 200.0, jnp.float16)
     for fn in (lambda v: ops.global_avg_pool(v),

@@ -43,7 +43,12 @@ TIER_FILES = ["zoo_sustained_fast_r3.json", "zoo_sustained_fast_r4.json",
               "zoo_sustained_fast_fori_r5.json",
               "zoo_sustained_fast_fori_b2_r5.json",
               "zoo_sustained_fast16_fori_r5.json",
-              "zoo_sustained_fast16_fori_b2_r5.json"]
+              "zoo_sustained_fast16_fori_b2_r5.json",
+              # round-5 fasthi tier (bf16 activation storage, f32 weights,
+              # HIGH contractions — config.py): chain sweep + NLFFC fori rows
+              "zoo_sustained_fasthi_r5.json",
+              "zoo_sustained_fasthi_fori_r5.json",
+              "zoo_sustained_fasthi_fori_b2_r5.json"]
 
 
 def _load(proto_dir, name):
@@ -110,7 +115,8 @@ def build_envelope(base, deltas, tier_rows, gate, tiled_names=(),
         best = dict(base[name])
         best["tier"] = "high"
         best["tier_delta_db"] = None  # high+AUTO: gate carried by the AUTO ledger
-        modes = () if base[name]["model_id"] in pin_high else ("fast16", "fast")
+        modes = (() if base[name]["model_id"] in pin_high
+                 else ("fast16", "fast", "fasthi"))
         for mode in modes:
             row = tier_rows.get(name, {}).get(mode)
             d = deltas.get(name, {}).get(mode)
