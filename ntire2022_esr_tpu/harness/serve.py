@@ -147,7 +147,7 @@ def main(argv=None):
     ap.add_argument("--save_dir", default=None)
     ap.add_argument("--tier", default=None,
                     choices=["parity", "high", "mixed", "fast", "fast16",
-                             "fasthi"],
+                             "fasthi", "fasthi16"],
                     help="override the plan's numerics tier")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the plan's device batch")

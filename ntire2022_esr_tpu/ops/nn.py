@@ -107,14 +107,15 @@ def saturate_f16(out: jax.Array) -> jax.Array:
 
 def store_out(out: jax.Array, nm) -> jax.Array:
     """Contraction epilogue: clamp f16 overflow, then round into the
-    storage dtype when the mode separates storage from compute (fasthi:
-    f32 contraction, bf16 inter-layer tensors — the astype fuses into the
-    producing kernel so HBM sees 2-byte activations). A no-op in every
-    mode with storage_dtype=None."""
+    storage dtype when the mode separates storage from compute (fasthi/
+    fasthi16: f32 contraction, 2-byte inter-layer tensors — the cast
+    fuses into the producing kernel so HBM sees 2-byte activations). An
+    f16 storage dtype saturates on the way in (cast_compute) like every
+    other f16 boundary. A no-op in every mode with storage_dtype=None."""
     out = saturate_f16(out)
     sd = nm.storage_dtype
     if sd is not None and out.dtype != sd:
-        out = out.astype(sd)
+        out = cast_compute(out, sd)
     return out
 
 

@@ -82,7 +82,7 @@ def test_gated_envelope_loads_as_plans():
     plans = envelope.load_envelope()
     assert len(plans) == 42
     for p in plans.values():
-        assert p.tier in ("parity", "high", "mixed", "fast", "fast16", "fasthi"), p
+        assert p.tier in ("parity", "high", "mixed", "fast", "fast16", "fasthi", "fasthi16"), p
         assert p.method in ("chain", "split", "fori"), p
         assert (p.chunk is not None) == (p.method == "split"), p
 

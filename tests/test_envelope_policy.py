@@ -116,7 +116,7 @@ def test_real_artifact_loads_if_present():
         pytest.skip("gated envelope artifact not generated in this checkout")
     assert len(plans) >= 40
     for p in plans.values():
-        assert p.tier in ("high", "fast", "fast16", "fasthi")
+        assert p.tier in ("high", "fast", "fast16", "fasthi", "fasthi16")
         assert p.ms_per_image > 0 and p.batch >= 1
         if p.method == "split":
             assert p.chunk and p.batch % p.chunk == 0

@@ -73,6 +73,17 @@ def test_fasthi_is_high_contraction_rounded_to_bf16(rng):
         np.asarray(ref.astype(jnp.bfloat16), np.float32))
 
 
+def test_fasthi16_stores_f16_saturating(rng):
+    # fasthi16 = fasthi with f16 storage: conv output dtype f16, stores
+    # saturate (never inf) even when the f32 contraction overflows range
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32)) * 300.0
+    p = {"weight": jnp.asarray(np.full((3, 3, 4, 4), 30.0, np.float32))}
+    with config.numerics_mode("fasthi16"):
+        out = jax.jit(lambda pp, a: ops.conv(pp, a))(p, x)
+    assert out.dtype == jnp.float16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_fasthi_model_agreement_beats_fast(rng):
     # the tier's reason to exist: removing weight rounding + 1-pass
     # multiplies leaves only activation-storage rounding, which must

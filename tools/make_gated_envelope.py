@@ -47,6 +47,8 @@ TIER_FILES = ["zoo_sustained_fast_r3.json", "zoo_sustained_fast_r4.json",
               # round-5 fasthi tier (bf16 activation storage, f32 weights,
               # HIGH contractions — config.py): chain sweep + NLFFC fori rows
               "zoo_sustained_fasthi_r5.json",
+              "zoo_sustained_fasthi16_r5.json",
+              "zoo_sustained_fasthi_split_r5.json",
               "zoo_sustained_fasthi_fori_r5.json",
               "zoo_sustained_fasthi_fori_b2_r5.json"]
 
@@ -116,7 +118,7 @@ def build_envelope(base, deltas, tier_rows, gate, tiled_names=(),
         best["tier"] = "high"
         best["tier_delta_db"] = None  # high+AUTO: gate carried by the AUTO ledger
         modes = (() if base[name]["model_id"] in pin_high
-                 else ("fast16", "fast", "fasthi"))
+                 else ("fast16", "fast", "fasthi", "fasthi16"))
         for mode in modes:
             row = tier_rows.get(name, {}).get(mode)
             d = deltas.get(name, {}).get(mode)
