@@ -201,6 +201,40 @@ def test_extra_artifact_fastest_row_wins(proto, tmp_path):
     assert env["30_SCET"]["tier"] == "fast"
 
 
+def test_fasthi_candidate_tier_flips_when_fastest_passing(proto):
+    # the round-5 storage tiers are full envelope candidates: RLFN's fast
+    # fails the gate and fast16 is slower than high, but a measured
+    # fasthi row that passes the 8-image gate AND beats high flips it —
+    # and a near-miss fasthi delta (worst just past the ±0.01 bar, the
+    # measured RLFN case) is rejected like any other tier.
+    _write(proto, "zoo_sustained_fasthi_r5.json", {
+        "04_RLFN": {"model_id": 4, "batch": 128, "mode": "fasthi",
+                    "method": "chain", "ms_per_image_sustained": 0.98}})
+    art = json.load(open(os.path.join(proto, "numerics_delta_r4.json")))
+    art["04_RLFN|attn=auto|tail=auto|fasthi"] = {
+        "model_id": 4, "images": 8, "attn": "auto", "tail": "auto",
+        "w8": False, "parity_psnr": 26.8,
+        "delta_db": {"fasthi": -0.0093},
+        "delta_db_worst": {"fasthi": -0.0109}}  # worst fails ±0.01
+    _write(proto, "numerics_delta_r4.json", art)
+    env = _run(proto)
+    assert env["04_RLFN"]["tier"] == "high"
+    # a passing fasthi16 row (f16 storage cuts the rounding ~8x) flips it
+    _write(proto, "zoo_sustained_fasthi16_r5.json", {
+        "04_RLFN": {"model_id": 4, "batch": 128, "mode": "fasthi16",
+                    "method": "chain", "ms_per_image_sustained": 1.10}})
+    art["04_RLFN|attn=auto|tail=auto|fasthi16"] = {
+        "model_id": 4, "images": 8, "attn": "auto", "tail": "auto",
+        "w8": False, "parity_psnr": 26.8,
+        "delta_db": {"fasthi16": -0.0011},
+        "delta_db_worst": {"fasthi16": -0.0014}}
+    _write(proto, "numerics_delta_r4.json", art)
+    env = _run(proto)
+    assert env["04_RLFN"]["tier"] == "fasthi16"
+    assert env["04_RLFN"]["ms_per_image_sustained"] == 1.10
+    assert env["04_RLFN"]["method"] == "chain"
+
+
 def test_write_artifact(proto):
     _run(proto, "--write")
     out = json.load(open(os.path.join(proto, "zoo_sustained_gated.json")))
