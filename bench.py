@@ -58,7 +58,23 @@ def main():
     # 74-77 dB vs the parity output across the zoo's model families, i.e.
     # <= 0.002 dB on the 29 dB benchmark PSNR - strictly within the
     # challenge's +-0.01 dB parity bar, at ~1.4x the HIGHEST throughput.
-    mode = os.environ.get("NTIRE_BENCH_MODE", "high")
+    mode = os.environ.get("NTIRE_BENCH_MODE", "envelope")
+    tier_delta = None
+    if mode == "envelope":
+        # Serve the flagship at its benchmark-gated envelope tier — the
+        # serve CLI's default deployment config. A non-high tier is only
+        # ever in the artifact on >= 8-image protocol evidence with
+        # |mean delta| <= 0.005 dB AND |worst image| <= 0.01 dB
+        # (tools/make_gated_envelope.py), i.e. inside the challenge's own
+        # +-0.01 dB reproducibility bar (reference test_demo.py:447).
+        try:
+            _env = json.load(open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "results", "protocol", "zoo_sustained_gated.json")))["04_RLFN"]
+            mode = _env["tier"]
+            tier_delta = _env.get("tier_delta_db")
+        except Exception:
+            mode = "high"  # artifact absent (fresh clone): parity-grade tier
     config.set_mode(mode)
 
     apply, params, name, data_range, tile = registry.build_model(4)
@@ -172,6 +188,10 @@ def main():
     if per_call is not None:
         rec["per_call_images_per_sec"] = round(per_call, 2)
         rec["per_call_vs_baseline"] = round(per_call / BASELINE_IMG_PER_SEC, 3)
+    if tier_delta is not None:
+        # measured 8-image protocol PSNR shift of the serving tier vs the
+        # parity arm (numerics_delta ledger via the gated envelope)
+        rec["tier_delta_db"] = round(tier_delta, 4)
     rec.update(_zoo_summary())
     print(json.dumps(rec))
 
